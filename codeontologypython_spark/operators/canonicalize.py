@@ -1,0 +1,142 @@
+"""Stage 3 — canonicalization (SURVEY.md §2.4).
+
+- C1 window dedup with min-commit tiebreak (the north_star's stated form of
+  the reference's idempotent-init guards, individuals.py:104 etc.)
+- C3 content-hashed IRI assignment: sha256 over the entity's own literal
+  attribute values plus the names of its related individuals, sorted
+  (individuals.py:54-85) — computed as a collect_list/array_sort aggregation
+  over the *final* linked triples, because the reference hashes post-linking
+  attribute sets (SURVEY §2.4 C3 note)
+- C4 inverse-property materialization: one map-expression projection + union
+  replacing owlready2's automatic inverses (extractor.py:35-38)
+- dangling ParameterizedType pruning: a parameterized type whose generic
+  could not be resolved is dropped, matching the reference's
+  generic-individual-None rule (extractor.py:952-961)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from codeontologypython_spark import woc
+from codeontologypython_spark.operators.relational import window_dedup
+
+WOC = woc.WOC
+
+
+def dedup_triples(triples: DataFrame) -> DataFrame:
+    """C1: one winner per (subj, pred, obj), min commit."""
+    return window_dedup(triples, ["subj", "pred", "obj"],
+                        [F.col("commit").asc(), F.col("repo").asc()])
+
+
+def compute_iris(entities: DataFrame, triples: DataFrame) -> DataFrame:
+    """C3 -> (eid, iri).
+
+    Hash input per entity: sorted own literal values + sorted neighbor
+    names + kind + eid. The eid (repo|path|ordinal) is included as a
+    uniqueness guard: the reference asserts hash uniqueness over attrs +
+    neighbor names alone (individuals.py:83-85), which collides for
+    e.g. two identical `pass` statements on the same line of different
+    files; at 10^12-file scale that assert would fail, so the eid term makes
+    IRIs collision-free while staying deterministic in the input content.
+    """
+    own_lits = (triples.filter(F.col("obj_is_literal"))
+                .groupBy("subj").agg(F.collect_list("obj").alias("lits")))
+    neighbor_names = (
+        triples.filter(~F.col("obj_is_literal"))
+        .join(entities.select(F.col("eid").alias("obj"),
+                              F.col("name").alias("nname")), "obj")
+        .filter(F.col("nname").isNotNull())
+        .groupBy("subj").agg(F.collect_list("nname").alias("nnames")))
+    return (entities
+            .join(own_lits.withColumnRenamed("subj", "eid"), "eid", "left")
+            .join(neighbor_names.withColumnRenamed("subj", "eid"), "eid", "left")
+            .select(
+                "eid",
+                F.concat(
+                    F.lit(WOC),
+                    F.sha2(F.concat_ws(
+                        "|",
+                        F.col("kind"),
+                        F.col("eid"),
+                        F.concat_ws(",", F.array_sort(
+                            F.coalesce(F.col("lits"), F.array()))),
+                        F.concat_ws(",", F.array_sort(
+                            F.coalesce(F.col("nnames"), F.array()))),
+                    ), 256)).alias("iri")))
+
+
+def apply_iris(triples: DataFrame, iri_map: DataFrame) -> DataFrame:
+    """Rewrite local entity ids to hashed IRIs on both subj and obj sides.
+    Objects already holding absolute IRIs (rdf:type classes, access-modifier
+    singletons, owl terms) pass through via coalesce."""
+    s_map = iri_map.select(F.col("eid").alias("subj"), F.col("iri").alias("s_iri"))
+    o_map = iri_map.select(F.col("eid").alias("obj"), F.col("iri").alias("o_iri"))
+    return (triples
+            .join(s_map, "subj", "left")
+            .join(o_map, "obj", "left")
+            .select(
+                "repo", "commit",
+                F.coalesce("s_iri", "subj").alias("subj"),
+                "pred",
+                F.when(F.col("obj_is_literal"), F.col("obj"))
+                 .otherwise(F.coalesce("o_iri", "obj")).alias("obj"),
+                "obj_is_literal"))
+
+
+def materialize_inverses(triples: DataFrame) -> DataFrame:
+    """C4: forward-only emission + relational inverse generation."""
+    inv_map = F.create_map(*[F.lit(x) for pair in woc.INVERSE.items() for x in pair])
+    invertible = (triples
+                  .filter(~F.col("obj_is_literal"))
+                  .withColumn("inv_pred", inv_map[F.col("pred")])
+                  .filter(F.col("inv_pred").isNotNull()))
+    inverses = invertible.select(
+        "repo", "commit",
+        F.col("obj").alias("subj"), F.col("inv_pred").alias("pred"),
+        F.col("subj").alias("obj"), F.lit(False).alias("obj_is_literal"))
+    return triples.unionByName(inverses)
+
+
+def prune_dangling_ptypes(entities: DataFrame, triples: DataFrame) -> DataFrame:
+    """Drop ParameterizedType entities whose hasGenericType never resolved,
+    plus their TypeArguments and every triple touching either."""
+    ptypes = entities.filter(F.col("kind") == "ParameterizedType").select("eid")
+    resolved_generic = (triples
+                        .filter(F.col("pred") == WOC + "hasGenericType")
+                        .select(F.col("subj").alias("eid")).distinct())
+    dangling = ptypes.join(resolved_generic, "eid", "left_anti")
+    targs = (triples.filter(F.col("pred") == WOC + "hasActualTypeArgument")
+             .join(dangling.withColumnRenamed("eid", "subj"), "subj")
+             .select(F.col("obj").alias("eid")))
+    drop = dangling.unionByName(targs).distinct()
+    out = (triples
+           .join(drop.withColumnRenamed("eid", "subj"), "subj", "left_anti")
+           .join(drop.withColumnRenamed("eid", "obj"), "obj", "left_anti"))
+    return out
+
+
+def audit_iri_uniqueness(iri_map: DataFrame) -> DataFrame:
+    """The reference asserts global IRI uniqueness (individuals.py:83-85);
+    relational analog: return colliding IRIs (must be empty)."""
+    return (iri_map.groupBy("iri").agg(F.count("*").alias("n"),
+                                       F.collect_list("eid").alias("eids"))
+            .filter(F.col("n") > 1))
+
+
+def canonicalize_stage(entities: DataFrame, all_triples: DataFrame) -> DataFrame:
+    """Full Stage 3: prune -> IRI hash -> rewrite -> inverses -> dedup.
+
+    ``pruned`` and ``iri_map`` are localCheckpointed: each feeds 2-3
+    downstream joins, and without a materialization barrier Catalyst would
+    re-embed (and re-execute) the whole upstream plan once per join branch —
+    the plan-blowup problem, quadratic at scale. On a cluster these are the
+    Stage-3 parquet/Iceberg checkpoints.
+    """
+    pruned = prune_dangling_ptypes(entities, all_triples).localCheckpoint()
+    iri_map = compute_iris(entities, pruned).localCheckpoint()
+    rewritten = apply_iris(pruned, iri_map)
+    with_inv = materialize_inverses(rewritten)
+    return dedup_triples(with_inv)

@@ -1,0 +1,221 @@
+"""Stage 2 — cross-file entity linking (SURVEY.md §2.3, L1-L7).
+
+The reference resolves names by recursive pointer-chasing over live ASTs
+(``tracking.py``); here every resolution is a join against a symbol table
+derived from the Stage-1 entities:
+
+- L1 import resolution        -> candidate-explode + hash join + top-1 window
+- L2 scope-chain lookup       -> the per-file half ran inside the UDF; only
+                                 names escaping the file arrive here
+- L3 attribute-chain suffixes -> the candidate list (best-first) built per
+                                 mention inside the UDF, priority = position
+- L4 class-hierarchy closure  -> bounded iterative join (transitive_closure)
+- L5 alias chasing            -> bounded alias-resolution loop augmenting the
+                                 symbol table (max 10 rounds, tracking.py:343)
+- wildcard imports            -> module-exports join with a bounded re-export
+                                 fixpoint (tracking.py:234-255)
+- P4 overrides                -> methods ⋈ extends-closure ⋈ methods with a
+                                 min-(depth, base-position) window pick
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from codeontologypython_spark.operators.relational import (
+    salted_join,
+    top1_per_group,
+    transitive_closure,
+)
+
+WOC = "http://rdf.webofcode.org/woc/"
+
+# resolution priority across entity kinds when one FQN names several
+# (a package beats a class beats a function beats a variable)
+_KIND_RANK = {
+    "Package": 0, "Class": 1, "Function": 2, "GlobalVariable": 3,
+    "Field": 4, "Method": 5, "Constructor": 6,
+}
+
+
+def _kind_rank_col():
+    expr = F.lit(99)
+    for k, r in _KIND_RANK.items():
+        expr = F.when(F.col("kind") == k, F.lit(r)).otherwise(expr)
+    return expr
+
+
+def module_fqn_col(path):
+    """Relational FQN-from-path (explore/__init__.py:439-458), usable in
+    pure-DataFrame pipelines without the UDF."""
+    stripped = F.regexp_replace(path, "\\.py$", "")
+    dotted = F.regexp_replace(stripped, "/", ".")
+    return F.regexp_replace(dotted, "(\\.|^)__init__$", "")
+
+
+def build_symbol_table(entities: DataFrame) -> DataFrame:
+    """(fqn, eid, kind, repo) for every FQN-addressable entity — the
+    project-level symbol table the north_star broadcasts."""
+    return (entities
+            .filter(F.col("fqn").isNotNull() & (F.col("fqn") != ""))
+            .select("fqn", "eid", "kind", "repo"))
+
+
+def chase_aliases(symbol_table: DataFrame, mentions: DataFrame,
+                  max_iterations: int = 10) -> DataFrame:
+    """L5: module-level ``Alias = Target`` assignments add symbol-table rows
+    mapping the alias FQN to the target's entity. Alias-of-alias chains are
+    flattened by a bounded loop (max_iterations matches tracking.py:343)."""
+    alias_m = mentions.filter(F.col("kind") == "alias")
+    if alias_m.isEmpty():
+        return symbol_table
+    cands = alias_m.select(
+        F.col("subj").alias("alias_fqn"),
+        F.posexplode("candidates").alias("priority", "cand_fqn"))
+    cands = cands.localCheckpoint()
+    symtab = symbol_table
+    for _ in range(max_iterations):
+        hit = (cands.join(symtab.withColumnRenamed("fqn", "cand_fqn"), "cand_fqn")
+               .transform(lambda d: top1_per_group(
+                   d, ["alias_fqn"],
+                   [F.col("priority"), _kind_rank_col(), F.col("eid")]))
+               .select(F.col("alias_fqn").alias("fqn"), "eid", "kind", "repo"))
+        new = hit.join(symtab.select("fqn"), "fqn", "left_anti").localCheckpoint()
+        if new.isEmpty():
+            break
+        symtab = symtab.unionByName(new)
+    return symtab
+
+
+def resolve_mentions(mentions: DataFrame, symbol_table: DataFrame,
+                     broadcast_symtab: bool = True,
+                     salt: int = 0) -> DataFrame:
+    """L1/L2/L3: resolve candidate FQN lists to entity ids -> triples.
+
+    Candidates are best-first; the join keeps the best hit per mention via a
+    top-1 window. The symbol table is broadcast when small (north_star); for
+    huge symbol tables set ``broadcast_symtab=False`` and a ``salt`` to defuse
+    hub-symbol skew with :func:`salted_join`.
+    """
+    m = (mentions.filter(F.col("kind").isin("import", "type", "base"))
+         .withColumn("mention_id", F.monotonically_increasing_id())
+         .select("repo", "commit", "subj", "pred", "raw", "mention_id",
+                 F.posexplode("candidates").alias("priority", "fqn")))
+    st = symbol_table.select("fqn", "eid", "kind")
+    if broadcast_symtab:
+        joined = m.join(F.broadcast(st), "fqn")
+    elif salt > 1:
+        joined = salted_join(m, st, "fqn", salt=salt)
+    else:
+        joined = m.join(st, "fqn")
+    best = top1_per_group(
+        joined, ["mention_id"],
+        [F.col("priority"), _kind_rank_col(), F.col("eid")])
+    return best.select(
+        "repo", "commit", "subj", "pred",
+        F.col("eid").alias("obj"), F.lit(False).alias("obj_is_literal"))
+
+
+def expand_wildcards(mentions: DataFrame, entities: DataFrame,
+                     max_rounds: int = 5) -> DataFrame:
+    """``from m import *`` -> imports edges to every public top-level entity
+    of m, following wildcard re-export chains to a bounded fixpoint
+    (tracking.py:234-255 wildcard_import_names + L2 fixpoint)."""
+    wild = mentions.filter(F.col("kind") == "wildcard").select(
+        "repo", "commit", "subj", "pred",
+        F.element_at("candidates", 1).alias("module_fqn"))
+    if wild.isEmpty():
+        return wild.select("repo", "commit", "subj", "pred",
+                           F.lit("").alias("obj"),
+                           F.lit(False).alias("obj_is_literal")).limit(0)
+
+    ents = entities.withColumn("module_fqn", module_fqn_col(F.col("path")))
+    top_level = (ents.filter(
+        F.col("kind").isin("Class", "Function", "GlobalVariable")
+        & F.col("fqn").isNotNull()
+        & (F.col("fqn") == F.concat_ws(".", "module_fqn", "name"))
+        & ~F.col("name").startswith("_"))
+        .select("module_fqn", "eid"))
+
+    # wildcard re-export edges: module w -> module m when w does
+    # `from m import *`; derived from the wildcard mentions of w's own file
+    imp_stmt_modules = (mentions.filter(F.col("kind") == "wildcard")
+                        .withColumn("w_module", module_fqn_col(F.col("path")))
+                        .select(F.col("w_module"),
+                                F.element_at("candidates", 1).alias("src_module")))
+    exports = top_level.localCheckpoint()
+    imp_stmt_modules = imp_stmt_modules.localCheckpoint()
+    for _ in range(max_rounds):
+        lifted = (imp_stmt_modules
+                  .join(exports.withColumnRenamed("module_fqn", "src_module"),
+                        "src_module")
+                  .select(F.col("w_module").alias("module_fqn"), "eid"))
+        new = lifted.join(exports, ["module_fqn", "eid"], "left_anti").localCheckpoint()
+        if new.isEmpty():
+            break
+        exports = exports.unionByName(new)
+
+    return (wild.join(exports, "module_fqn")
+            .select("repo", "commit", "subj", "pred",
+                    F.col("eid").alias("obj"),
+                    F.lit(False).alias("obj_is_literal")))
+
+
+def extends_closure(resolved_triples: DataFrame) -> DataFrame:
+    """L4: (sub_eid, anc_eid, depth, base_pos) from resolved extends edges.
+    base_pos (the position of the base in the class statement) is carried so
+    override resolution can prefer earlier bases, approximating MRO order."""
+    extends = (resolved_triples
+               .filter(F.col("pred") == WOC + "extends")
+               .select(F.col("subj").alias("src"), F.col("obj").alias("dst")))
+    return transitive_closure(extends, max_iterations=10)
+
+
+def resolve_overrides(entities: DataFrame, triples: DataFrame,
+                      closure: DataFrame) -> DataFrame:
+    """P4 cross-file: method overrides via joins. A method m of class C
+    overrides the nearest (min ancestor depth) method of the same name in C's
+    extends closure (transformer/__init__.py:54-84 first-match-in-MRO)."""
+    has_method = (triples.filter(F.col("pred") == WOC + "hasMethod")
+                  .select(F.col("subj").alias("class_eid"),
+                          F.col("obj").alias("method_eid")))
+    named = entities.filter(F.col("kind") == "Method").select(
+        F.col("eid").alias("method_eid"), F.col("name").alias("mname"),
+        "repo", "commit")
+    methods = has_method.join(named, "method_eid")
+
+    anc_methods = (methods
+                   .select(F.col("class_eid").alias("anc_class"),
+                           F.col("method_eid").alias("anc_method"),
+                           F.col("mname").alias("anc_mname")))
+    cand = (methods
+            .join(closure.withColumnRenamed("src", "class_eid"), "class_eid")
+            .join(anc_methods,
+                  (F.col("dst") == F.col("anc_class"))
+                  & (F.col("mname") == F.col("anc_mname")))
+            .select("repo", "commit", "method_eid", "anc_method", "depth"))
+    best = top1_per_group(cand, ["method_eid"],
+                          [F.col("depth"), F.col("anc_method")])
+    return best.select(
+        "repo", "commit", F.col("method_eid").alias("subj"),
+        F.lit(WOC + "overrides").alias("pred"),
+        F.col("anc_method").alias("obj"), F.lit(False).alias("obj_is_literal"))
+
+
+def link_stage(entities: DataFrame, triples: DataFrame, mentions: DataFrame,
+               broadcast_symtab: bool = True, salt: int = 0) -> DataFrame:
+    """Full Stage 2: returns the resolved-triples DataFrame (to union with the
+    Stage-1 triples)."""
+    symtab = build_symbol_table(entities)
+    symtab = chase_aliases(symtab, mentions)
+    # resolved feeds three consumers (closure, overrides, output union):
+    # materialize once so the candidate-join isn't re-executed per consumer
+    resolved = resolve_mentions(mentions, symtab,
+                                broadcast_symtab=broadcast_symtab,
+                                salt=salt).localCheckpoint()
+    wild = expand_wildcards(mentions, entities)
+    closure = extends_closure(resolved)
+    overrides = resolve_overrides(entities, triples.unionByName(resolved),
+                                  closure)
+    return resolved.unionByName(wild).unionByName(overrides)

@@ -1,0 +1,110 @@
+"""Generic distributed-relational primitives the KG pipeline is built from.
+
+These are the Spark-native replacements for the reference's recursive
+pointer-chasing (SURVEY.md §2.3/§2.4): broadcast + salted hash joins,
+top-1-per-group windows, bounded transitive closure, window dedup with a
+deterministic tiebreak. They are exposed directly (and exercised against the
+TPC-H-ish driver tables in ``__spark_entry__.py``) because they ARE the
+engine's operator core.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-defusing equi-join (north_star: "salted hash joins to defuse skew
+    on hub modules"). The probe side gets a deterministic salt derived from
+    its row content; the build side is replicated ``salt`` times. Result
+    equals a plain ``probe.join(build, key, how)``.
+
+    Use when the build side is too large to broadcast AND the probe key is
+    skewed (hub symbols like ``os``/``typing`` at corpus scale). AQE skew-join
+    handles sort-merge skew adaptively; explicit salting also covers
+    shuffle-hash joins and makes the mitigation deterministic.
+    """
+    all_probe_cols = probe.columns
+    salt_col = (F.abs(F.hash(*[F.col(c) for c in all_probe_cols])) % salt)
+    p = probe.withColumn("__salt", salt_col)
+    b = build.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    out = p.join(b, on=[key, "__salt"], how=how).drop("__salt")
+    return out
+
+
+def top1_per_group(
+    df: DataFrame, group_cols: list[str], order_cols: list[Column]
+) -> DataFrame:
+    """Keep the best row per group (candidate-join resolution, SURVEY L3;
+    MRO-priority override pick, SURVEY P4)."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def window_dedup(
+    df: DataFrame, key_cols: list[str], tiebreak_cols: list[Column]
+) -> DataFrame:
+    """Dedup with deterministic winner (SURVEY C1; north_star "window over
+    (subj,pred,obj) with min-commit tiebreak")."""
+    return top1_per_group(df, key_cols, tiebreak_cols)
+
+
+def transitive_closure(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 10,
+    carry_min: str | None = None,
+) -> DataFrame:
+    """Bounded iterative transitive closure over an edge DataFrame, the join
+    analog of the reference's recursive ancestor walks (SURVEY L4; alias
+    chase bound tracking.py:343).
+
+    Returns (src, dst, depth[, carry]) where depth is the minimum path length.
+    ``carry_min`` optionally propagates the minimum of an edge attribute along
+    the first hop (used for base-class position in MRO-priority ordering).
+    Each round is one shuffle join; Python class DAGs are shallow so the loop
+    exits after 2-4 rounds. At cluster scale each round's result would be
+    checkpointed to cut lineage.
+    """
+    carry_cols = [carry_min] if carry_min else []
+    frontier = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"),
+        F.lit(1).alias("depth"), *[F.col(c) for c in carry_cols])
+    closure = frontier
+    base = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    for _ in range(max_iterations):
+        stepped = (frontier.join(base, frontier["dst"] == base["e_src"])
+                   .select(F.col("src"), F.col("e_dst").alias("dst"),
+                           (F.col("depth") + 1).alias("depth"),
+                           *[F.col(c) for c in carry_cols]))
+        # anti-join against known pairs -> only genuinely new paths survive;
+        # localCheckpoint truncates the per-round lineage so the plan does not
+        # grow quadratically (on a cluster: per-round parquet checkpoint)
+        new = stepped.join(closure.select("src", "dst"),
+                           on=["src", "dst"], how="left_anti").localCheckpoint()
+        if new.isEmpty():
+            break
+        closure = closure.unionByName(new)
+        frontier = new
+    # keep min depth (and min carry) per pair
+    aggs = [F.min("depth").alias("depth")] + [F.min(c).alias(c) for c in carry_cols]
+    return closure.groupBy("src", "dst").agg(*aggs)
+
+
+def broadcast_if_small(df: DataFrame, threshold_rows: int | None = None):
+    """Hint helper: broadcast the project-level symbol table when it is small
+    (north_star), fall back to a shuffle join otherwise. Catalyst's AQE also
+    auto-broadcasts below spark.sql.autoBroadcastJoinThreshold; the explicit
+    hint covers the planned-size-unknown UDF-output case."""
+    if threshold_rows is None:
+        return F.broadcast(df)
+    return df

@@ -1,0 +1,182 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup. Scale-first designs:
+
+- exact dedup: hash-groupBy, one shuffle on a 32-char key instead of the
+  full document;
+- Jaccard: shingle-inverted-index join (pairs share >=1 shingle) — never the
+  O(n^2) cross join;
+- MinHash LSH: signature -> bands -> bucket join; only in-bucket pairs get
+  the exact signature comparison;
+- SimHash: bit-majority over token hashes, near-dup = same value on k of
+  4 16-bit chunks (expression-only);
+- embedding near-dup delegates to functions.similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from codeontologypython_spark.functions.textops import (
+    hash_hex_prefix_to_long,
+    shingles_col,
+    tokens_col,
+)
+from codeontologypython_spark.operators.relational import top1_per_group
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per exact content hash; adds the group
+    size. One shuffle on md5(text)."""
+    h = df.withColumn("content_md5", F.md5(F.col(text_col)))
+    reps = top1_per_group(h, ["content_md5"], [F.col(id_col)])
+    sizes = h.groupBy("content_md5").agg(F.count("*").alias("dup_count"))
+    return reps.join(sizes, "content_md5")
+
+
+def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return (df
+            .select(F.col(id_col).alias("doc"),
+                    F.explode(F.array_distinct(
+                        shingles_col(F.col(text_col), n))).alias("shingle")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Candidate pairs via the shingle inverted index (docs sharing >=1
+    shingle), exact Jaccard = |∩| / (|A|+|B|-|∩|). Returns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    sh = _shingle_table(df, text_col, id_col, n)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
+    a = sh.withColumnRenamed("doc", "doc_a")
+    b = sh.withColumnRenamed("doc", "doc_b")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
+    out = (inter
+           .join(sizes.withColumnRenamed("doc", "doc_a")
+                 .withColumnRenamed("n_shingles", "size_a"), "doc_a")
+           .join(sizes.withColumnRenamed("doc", "doc_b")
+                 .withColumnRenamed("n_shingles", "size_b"), "doc_b")
+           .withColumn("jaccard",
+                       F.col("inter").cast("double")
+                       / (F.col("size_a") + F.col("size_b") - F.col("inter"))))
+    return (out.filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      num_hashes: int = 8) -> DataFrame:
+    """K-permutation MinHash signature as K columns mh_0..mh_{K-1}.
+    Hash_k(s) = int(md5(k ':' s)[:8], 16) — portable to the SQL oracle."""
+    sh = F.array_distinct(shingles_col(F.col(text_col), n))
+    out = df.select(F.col(id_col).alias("doc"), sh.alias("shingles")) \
+            .filter(F.size("shingles") > 0)
+
+    # NOTE: the lambda must be unary — PySpark gives a 2-arg higher-order
+    # lambda the element INDEX as its second argument, so default-arg k
+    # binding would silently hash the wrong string
+    def mh(k: int):
+        return F.array_min(F.transform(
+            F.col("shingles"),
+            lambda s: hash_hex_prefix_to_long(F.concat(F.lit(f"{k}:"), s))))
+
+    for k in range(num_hashes):
+        out = out.withColumn(f"mh_{k}", mh(k))
+    return out.drop("shingles")
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      num_hashes: int = 8, bands: int = 4,
+                      threshold: float = 0.5) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of r rows; docs
+    colliding in any band become candidates; candidates are confirmed by
+    estimated Jaccard = fraction of equal signature components."""
+    sig = minhash_signature(df, text_col, id_col, n, num_hashes)
+    r = num_hashes // bands
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.concat_ws("_", *[F.col(f"mh_{b * r + i}")
+                                    for i in range(r)]).alias("key"))
+        for b in range(bands)]
+    buckets = (sig.select("doc", F.explode(F.array(*band_cols)).alias("bk"))
+               .select("doc", "bk.band", "bk.key"))
+    cand = (buckets.alias("x").join(
+        buckets.alias("y"), ["band", "key"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct())
+    sa = sig.select(*[F.col(c).alias(f"a_{c}") for c in sig.columns])
+    sb = sig.select(*[F.col(c).alias(f"b_{c}") for c in sig.columns])
+    est = None
+    for k in range(num_hashes):
+        term = (F.col(f"a_mh_{k}") == F.col(f"b_mh_{k}")).cast("int")
+        est = term if est is None else est + term
+    return (cand
+            .join(sa, cand["doc_a"] == sa["a_doc"])
+            .join(sb, cand["doc_b"] == sb["b_doc"])
+            .withColumn("est_jaccard", est.cast("double") / num_hashes)
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("doc_a", "doc_b", "est_jaccard"))
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash from token md5s: bit b of the result is the majority
+    vote of bit b across token hashes. Expression-only (binary expansion of
+    two 8-hex-char halves)."""
+    toks = F.array_distinct(tokens_col(text))
+    hi = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    lo = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long"))
+    n = F.size(toks)
+
+    def bit_count(words: Column, b: int) -> Column:
+        # binary lambda only (acc, x) — see the arity note in
+        # minhash_signature
+        return F.aggregate(
+            words, F.lit(0),
+            lambda acc, w: acc + F.shiftright(w, b).bitwiseAND(F.lit(1)).cast("int"))
+
+    def majority_word(words: Column) -> Column:
+        out = F.lit(0).cast("long")
+        for b in range(32):
+            ones = bit_count(words, b)
+            bit = (ones * 2 > n).cast("long")
+            out = out + F.shiftleft(bit, b)
+        return out
+
+    return F.shiftleft(majority_word(hi), 32) + majority_word(lo)
+
+
+def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           min_equal_chunks: int = 3) -> DataFrame:
+    """Near-dup candidates: equal value in >= k of the 4 16-bit chunks
+    (standard SimHash block-permutation trick as a self-join per chunk)."""
+    sh = df.select(F.col(id_col).alias("doc"),
+                   simhash64(F.col(text_col)).alias("sh"))
+    chunks = sh.select(
+        "doc", "sh",
+        *[(F.shiftright("sh", 16 * i).bitwiseAND(F.lit(0xFFFF)))
+          .alias(f"c{i}") for i in range(4)])
+    pairs = None
+    for i in range(4):
+        x = chunks.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"),
+                          F.col(f"c{i}").alias("ck"))
+        y = chunks.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"),
+                          F.col(f"c{i}").alias("ck"))
+        p = (x.join(y, "ck").filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", "sh_a", "sh_b"))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.distinct()
+    eq = None
+    for i in range(4):
+        term = ((F.shiftright("sh_a", 16 * i).bitwiseAND(F.lit(0xFFFF)))
+                == (F.shiftright("sh_b", 16 * i).bitwiseAND(F.lit(0xFFFF)))).cast("int")
+        eq = term if eq is None else eq + term
+    return (pairs.withColumn("equal_chunks", eq)
+            .filter(F.col("equal_chunks") >= min_equal_chunks)
+            .select("doc_a", "doc_b", "equal_chunks"))

@@ -814,8 +814,12 @@ class FileExtractor:
         is_ctor = is_method and stmt.name == "__init__"
 
         kind = "Constructor" if is_ctor else ("Method" if is_method else "Function")
+        # module-level functions are FQN-addressable (extractor.py:386-390)
+        # and must land in the Stage-2 symbol table for from-import resolution
+        fn_fqn = (f"{self.module_fqn}.{stmt.name}"
+                  if kind == "Function" and len(self._scopes) == 1 else None)
         fn = self.ent(self._eid(f"{kind}:{stmt.name}"), kind,
-                      name=stmt.name, line=stmt.lineno)
+                      name=stmt.name, fqn=fn_fqn, line=stmt.lineno)
         decl = self._stmt_base(stmt, "DeclarationStatement", "FuncDecl", block_eid)
         fblock = self._block_individual(stmt, block_eid)
         self.t(decl, WOC + "hasBody", fblock, False)

@@ -1,0 +1,352 @@
+"""Unit tests for the per-file extraction core (SURVEY §5.2 test strategy:
+per-operator-family unit tests against the reference's rules)."""
+
+import ast
+
+from codeontologypython_spark.operators.pyfile import (
+    FileExtractor,
+    clean_description,
+    dotted_name,
+    extract_file,
+    library_of_path,
+    literal_type_name,
+    module_fqn_of_path,
+    parse_docstring,
+    structure_annotation,
+)
+
+WOC = "http://rdf.webofcode.org/woc/"
+
+
+def _run(src, repo="r", path="m.py"):
+    e, t, m, err = extract_file(repo, path, "c0", src)
+    assert err is None, err
+    return e, t, m
+
+
+def _preds(triples, pred):
+    return [x for x in triples if x[1] == WOC + pred]
+
+
+def _entity(entities, kind, name=None):
+    for e in entities:
+        if e["kind"] == kind and (name is None or e["name"] == name):
+            return e
+    return None
+
+
+# ---- FQN rules (explore/__init__.py:404-458) ------------------------------
+
+def test_module_fqn_rules():
+    assert module_fqn_of_path("pkg/__init__.py") == "pkg"
+    assert module_fqn_of_path("pkg/mod.py") == "pkg.mod"
+    assert module_fqn_of_path("ns/sub/mod.py") == "ns.sub.mod"
+    assert module_fqn_of_path("standalone.py") == "standalone"
+    assert library_of_path("pkg/sub/mod.py") == "pkg"
+    assert library_of_path("standalone.py") == "standalone"
+
+
+# ---- docstring cleaning (parser.py:234-265) -------------------------------
+
+def test_clean_description_midline_newlines_and_periods():
+    assert clean_description("a line\nbroken here") == "a line broken here."
+    # single \n is consumed by the mid-sentence rule first; the add-period
+    # rule fires only across blank lines (regex order, parser.py:252-257)
+    assert clean_description("Sentence one\nNext sentence") == \
+        "Sentence one Next sentence."
+    assert clean_description("Para one\n\nNext para") == "Para one. Next para."
+    assert clean_description("ends without period") == "ends without period."
+    assert clean_description("already ends.") == "already ends."
+    assert clean_description("  lots   of\n\n  space  ") == "lots of space."
+
+
+def test_parse_docstring_sphinx_fields():
+    desc, params, rt, rdesc = parse_docstring(
+        "Do f.\n\n:param a: the a value\n:param int y: an int\n"
+        ":return: nothing\n:rtype: str\n")
+    assert desc == "Do f."
+    assert params["a"] == (None, "the a value.")
+    assert params["y"][0] == "int"
+    assert rt == "str"
+    assert rdesc == "nothing."
+
+
+def test_docstring_short_long_join():
+    desc, *_ = parse_docstring("Short part.\n\nLong part\nover lines\n")
+    assert desc == "Short part. Long part over lines."
+
+
+# ---- annotation structuring (tracking.py:431-610) -------------------------
+
+def _ann(src):
+    return structure_annotation(ast.parse(src, mode="eval").body)
+
+
+def test_structure_annotation_worked_example():
+    # tracking.py:482-487 worked example
+    got = _ann("Tuple[List[str], Tuple[int, int] | float | Exception] | List")
+    assert got == [("Tuple", ("List", "str"),
+                    [("Tuple", "int", "int"), "float", "Exception"]), "List"]
+
+
+def test_structure_annotation_basics():
+    assert _ann("int") == "int"
+    assert _ann("a.b.C") == "a.b.C"
+    assert _ann("int | float") == ["int", "float"]
+    assert _ann("int | float | str") == ["int", "float", "str"]  # flattened
+    assert _ann("None") == "NoneType"
+    assert _ann("...") == "Any"
+    assert _ann("'Quoted'") == "Quoted"
+    assert _ann("List[int]") == ("List", "int")
+
+
+def test_dotted_name_gives_up_on_calls_and_subscripts():
+    # tracking.py:283-291 failure semantics preserved
+    assert dotted_name(ast.parse("a.b().c", mode="eval").body) is None
+    assert dotted_name(ast.parse("a[0].c", mode="eval").body) is None
+    assert dotted_name(ast.parse("a.b.c", mode="eval").body) == "a.b.c"
+
+
+def test_literal_type_inference():
+    assert literal_type_name(ast.parse("1", mode="eval").body) == "int"
+    assert literal_type_name(ast.parse("'x'", mode="eval").body) == "str"
+    assert literal_type_name(ast.parse("True", mode="eval").body) == "bool"
+    assert literal_type_name(ast.parse("[1]", mode="eval").body) == "list"
+    assert literal_type_name(ast.parse("None", mode="eval").body) == "NoneType"
+
+
+# ---- access modifiers (extractor.py:1136-1144) ----------------------------
+
+def test_access_modifiers_on_methods():
+    src = ("class C:\n"
+           "    def pub(self): pass\n"
+           "    def _prot(self): pass\n"
+           "    def __priv(self): pass\n"
+           "    def __dunder__(self): pass\n")
+    e, t, m = _run(src)
+    mods = {}
+    by_eid = {x["eid"]: x for x in e}
+    for s, p, o, _ in _preds(t, "hasModifier"):
+        if s in by_eid and by_eid[s]["kind"] == "Method":
+            mods[by_eid[s]["name"]] = o.rsplit("/", 1)[-1]
+    assert mods["pub"] == "PythonPublicAccessModifier"
+    assert mods["_prot"] == "PythonProtectedAccessModifier"
+    assert mods["__priv"] == "PythonPrivateAccessModifier"
+    assert mods["__dunder__"] == "PythonPublicAccessModifier"
+
+
+# ---- executables (extractor.py:280-343, individuals.py:100-144) -----------
+
+def test_constructor_method_function_distinction():
+    src = ("def top(): pass\n"
+           "class C:\n"
+           "    def __init__(self): pass\n"
+           "    def meth(self): pass\n"
+           "    @staticmethod\n"
+           "    def stat(): pass\n")
+    e, t, m = _run(src)
+    assert _entity(e, "Function", "top") is not None
+    assert _entity(e, "Constructor", "__init__") is not None
+    assert _entity(e, "Method", "meth") is not None
+    # staticmethod is not a method (transformer/utils.py:8-38)
+    assert _entity(e, "Function", "stat") is not None
+    # module-level function gets FQN + package; method gets hasName only
+    fn = _entity(e, "Function", "top")
+    fqns = {s: o for s, p, o, _ in _preds(t, "hasFullyQualifiedName")}
+    assert fqns.get(fn["eid"]) == "m.top"
+    ctor = _entity(e, "Constructor", "__init__")
+    cls = _entity(e, "Class", "C")
+    assert (cls["eid"], WOC + "hasConstructor", ctor["eid"], False) in t
+
+
+def test_self_param_typed_as_class():
+    src = "class C:\n    def meth(self): pass\n"
+    e, t, m = _run(src)
+    cls = _entity(e, "Class", "C")
+    self_p = _entity(e, "Parameter", "self")
+    assert (self_p["eid"], WOC + "hasType", cls["eid"], False) in t
+
+
+def test_parameter_positions_and_flags():
+    src = "def f(a, b, /, c, *args, k=1, **kw): pass\n"
+    e, t, m = _run(src)
+    by_name = {x["name"]: x for x in e if x["kind"] == "Parameter"}
+    lits = {(s, p): o for s, p, o, lit in t if lit}
+    P = lambda n, prop: lits.get((by_name[n]["eid"], WOC + prop))
+    assert P("a", "hasParameterPosition") == "1"
+    assert P("c", "hasParameterPosition") == "3"
+    assert P("args", "hasParameterPosition") is None
+    assert P("a", "isPositionalOnly") == "true"
+    assert P("c", "isPositionalOnly") == "false"
+    assert P("args", "isVarArgs") == "true"
+    assert P("k", "isKeywordOnly") == "true"
+    assert P("kw", "isKeywordOnly") == "true"
+
+
+# ---- statement positions & try weights (extractor.py:1147-1161) -----------
+
+def test_statement_positions_with_try_except_weights():
+    src = ("def g(x):\n"
+           "    a = 1\n"
+           "    try:\n"
+           "        b = 2\n"
+           "    except ValueError:\n"
+           "        c = 3\n"
+           "    except KeyError:\n"
+           "        d = 4\n"
+           "    e = 5\n")
+    e, t, m = _run(src)
+    kinds = {x["eid"]: x["kind"] for x in e}
+    lines = {x["eid"]: x["line"] for x in e}
+    pos = {s: int(o) for s, p, o, lit in t
+           if lit and p == WOC + "hasStatementPosition"}
+    # chain inside g by source line:
+    # a=1(l2)->1, try(l3)->2, catch(l5)->3, catch(l7)->4, e=5(l9)->5
+    want = {2: ("Statement", 1), 3: ("TryStatement", 2),
+            5: ("CatchStatement", 3), 7: ("CatchStatement", 4),
+            9: ("Statement", 5)}
+    got = {lines[s]: (kinds[s], v) for s, v in pos.items()
+           if kinds.get(s) in ("Statement", "TryStatement", "CatchStatement")
+           and lines.get(s) in want}
+    assert got == want
+
+
+def test_try_finally_occupies_two_positions():
+    src = ("def g(x):\n"
+           "    try:\n"
+           "        a = 1\n"
+           "    finally:\n"
+           "        b = 2\n"
+           "    c = 3\n")
+    e, t, m = _run(src)
+    kinds = {x["eid"]: x["kind"] for x in e}
+    pos = {s: int(o) for s, p, o, lit in t
+           if lit and p == WOC + "hasStatementPosition"}
+    lines = {x["eid"]: x["line"] for x in e}
+    chain = sorted(
+        (v, kinds[s]) for s, v in pos.items()
+        if kinds.get(s) in ("TryStatement", "FinallyStatement")
+        or (kinds.get(s) == "Statement" and lines.get(s) == 6))
+    assert chain == [(1, "TryStatement"), (2, "FinallyStatement"), (3, "Statement")]
+    # try has hasFinallyClause + hasNextStatement -> finally
+    tr = next(s for s, v in pos.items() if kinds[s] == "TryStatement")
+    fin = next(s for s, v in pos.items() if kinds[s] == "FinallyStatement")
+    assert (tr, WOC + "hasFinallyClause", fin, False) in t
+    assert (tr, WOC + "hasNextStatement", fin, False) in t
+
+
+def test_chained_assign_equivalence_group():
+    # a = b = 0 -> one Statement + two sameAs-linked declaration statements
+    src = "a = b = 0\n"
+    e, t, m = _run(src)
+    same = [x for x in t if x[1] == "http://www.w3.org/2002/07/owl#sameAs"]
+    assert len(same) == 2
+    decls = [x for x in e if x["kind"] == "GlobalVariableDeclarationStatement"]
+    assert len(decls) == 2
+    gvars = [x for x in e if x["kind"] == "GlobalVariable"]
+    assert sorted(v["name"] for v in gvars) == ["a", "b"]
+
+
+def test_if_elif_else_structure():
+    src = ("if a > 0:\n    x = 1\n"
+           "elif a == 0:\n    x = 0\n"
+           "else:\n    x = -1\n")
+    e, t, m = _run("a = 5\n" + src)
+    ifs = [x for x in e if x["kind"] == "IfThenElseStatement"]
+    assert len(ifs) == 2
+    # outer if's else branch is the elif's IfThenElseStatement
+    else_edges = _preds(t, "hasElseBranch")
+    if_eids = {x["eid"] for x in ifs}
+    assert any(o in if_eids for s, p, o, _ in else_edges)
+    # the elif's else branch is a BlockStatement
+    blocks = {x["eid"] for x in e if x["kind"] == "BlockStatement"}
+    assert any(o in blocks for s, p, o, _ in else_edges)
+
+
+def test_break_continue_target_loop():
+    src = ("for i in (1, 2):\n"
+           "    if i == 1:\n"
+           "        continue\n"
+           "    break\n")
+    e, t, m = _run(src)
+    loop = _entity(e, "ForEachStatement")
+    targets = _preds(t, "hasTargetedBlock")
+    assert len(targets) == 2
+    assert all(o == loop["eid"] for s, p, o, _ in targets)
+
+
+def test_imports_emit_mentions_not_triples():
+    src = "import os\nfrom pkg.mod import name\nfrom pkg import *\n"
+    e, t, m = _run(src)
+    kinds = {x["kind"] for x in m}
+    assert "import" in kinds and "wildcard" in kinds
+    cands = {tuple(x["candidates"]) for x in m if x["kind"] == "import"}
+    assert ("os",) in cands
+    assert ("pkg.mod.name",) in cands
+
+
+def test_relative_import_resolution():
+    src = "from . import sibling\nfrom .mod2 import helper\n"
+    e, t, m = _run(src, repo="r", path="pkg_a/mod1.py")
+    cands = {x["candidates"][0] for x in m if x["kind"] == "import"}
+    assert "pkg_a.sibling" in cands
+    assert "pkg_a.mod2.helper" in cands
+
+
+def test_fields_discovery_and_fqn():
+    src = ("class C:\n"
+           "    x = 1\n"
+           "    y: int = 2\n"
+           "    a, b = 1, 2\n"
+           "    def __init__(self):\n"
+           "        self.z = 0\n")
+    e, t, m = _run(src)
+    fields = sorted(x["name"] for x in e if x["kind"] == "Field")
+    assert fields == ["a", "b", "x", "y", "z"]
+    f = _entity(e, "Field", "z")
+    assert f["fqn"] == "m.C.z"
+    cls = _entity(e, "Class", "C")
+    assert (cls["eid"], WOC + "hasField", f["eid"], False) in t
+    assert (cls["eid"], WOC + "declares", f["eid"], False) in t
+
+
+def test_nested_class_fqn_pure_chain_only():
+    # extractor.py:221-230: FQN only when nesting chain is pure ClassDefs
+    src = ("class A:\n"
+           "    class B: pass\n"
+           "def f():\n"
+           "    class Hidden: pass\n")
+    e, t, m = _run(src)
+    assert _entity(e, "Class", "B")["fqn"] == "m.A.B"
+    assert _entity(e, "Class", "Hidden")["fqn"] is None
+
+
+def test_no_invokes_ever_emitted():
+    # precision guard (FIXTURES.md §4; extractor.py:531-532)
+    src = "def f():\n    g()\n    h(1)(2)\n"
+    e, t, m = _run(src)
+    assert not _preds(t, "invokes")
+    assert _entity(e, "ExecutableInvocationExpression") is not None
+
+
+def test_broken_file_warn_and_skip():
+    e, t, m, err = extract_file("r", "b.py", "c0", "def oops(:\n")
+    assert err is not None and err.startswith("parse:")
+    assert e == [] and t == []
+
+
+def test_docstring_not_a_statement():
+    src = '"""Doc."""\nx = 1\n'
+    e, t, m = _run(src)
+    assert _entity(e, "ExpressionStatement") is None
+
+
+def test_global_redirection():
+    src = ("COUNT = 0\n"
+           "def bump():\n"
+           "    global COUNT\n"
+           "    COUNT = 1\n")
+    e, t, m = _run(src)
+    gvars = [x for x in e if x["kind"] == "GlobalVariable" and x["name"] == "COUNT"]
+    assert len(gvars) == 1  # the function assign resolves to the module var
+    assert not [x for x in e if x["kind"] == "LocalVariable"]

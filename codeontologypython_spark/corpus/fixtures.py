@@ -311,3 +311,51 @@ def source_files_df(spark: SparkSession, copies: int = 1, partitions: int | None
     if partitions:
         df = df.repartition(partitions, "repo", "path")
     return df
+
+
+# template of one generated "unit": globals, a function with control flow,
+# a class with a field and a method — ~15 statements per unit
+_UNIT_FMT = (
+    "V_%1$d = %1$d * 3\n"
+    "def f_%1$d(a_%1$d, b_%1$d=2):\n"
+    "    \"\"\"Doc for f_%1$d.\"\"\"\n"
+    "    c = a_%1$d + b_%1$d\n"
+    "    if c > %1$d:\n"
+    "        c = c - 1\n"
+    "    else:\n"
+    "        c = c + 1\n"
+    "    for j in (1, 2, 3):\n"
+    "        c = c + j\n"
+    "    return c\n"
+    "class K_%1$d:\n"
+    "    \"\"\"Doc for K_%1$d.\"\"\"\n"
+    "    x_%1$d = %1$d\n"
+    "    def m_%1$d(self):\n"
+    "        return self.x_%1$d\n")
+
+
+def synthetic_corpus_df(spark: SparkSession, n_files: int, units: int = 40,
+                        partitions: int | None = None) -> DataFrame:
+    """Deterministic synthetic corpus generated ENTIRELY executor-side
+    (spark.range + string expressions) — no driver->executor data transfer,
+    so throughput/scaling benchmarks measure the pipeline, not
+    createDataFrame. ~`units` * 15 statements per file (~`units` * 0.3 KB).
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, n_files)
+    if partitions:
+        df = df.repartition(partitions)
+    unit = F.transform(
+        F.sequence(F.lit(1), F.lit(units)),
+        lambda i: F.format_string(_UNIT_FMT, i))
+    content = F.concat(
+        F.format_string('"""Synthetic module %d."""\nimport synth.hub\n',
+                        F.col("id")),
+        F.array_join(unit, "\n"))
+    return df.select(
+        F.format_string("synthetic/repo_%03d", (F.col("id") % 100)).alias("repo"),
+        F.format_string("synth/mod_%06d.py", F.col("id")).alias("path"),
+        F.sha2(F.format_string("commit-%d", F.col("id")), 256).alias("commit"),
+        F.lit("python").alias("lang"),
+        content.alias("content"))

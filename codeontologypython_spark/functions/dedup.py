@@ -96,7 +96,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     """LSH banding: split the signature into ``bands`` bands of r rows; docs
     colliding in any band become candidates; candidates are confirmed by
     estimated Jaccard = fraction of equal signature components."""
-    sig = minhash_signature(df, text_col, id_col, n, num_hashes)
+    # sig feeds three joins (bucketing + both confirmation sides) —
+    # materialize once instead of recomputing 8 minhash columns per branch
+    sig = minhash_signature(df, text_col, id_col, n, num_hashes).localCheckpoint()
     r = num_hashes // bands
     band_cols = [
         F.struct(F.lit(b).alias("band"),

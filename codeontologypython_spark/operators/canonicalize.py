@@ -31,6 +31,14 @@ def dedup_triples(triples: DataFrame) -> DataFrame:
                         [F.col("commit").asc(), F.col("repo").asc()])
 
 
+def dedup_entities(entities: DataFrame) -> DataFrame:
+    """C1 for entity rows: shared entities (Project/Library/Package) are
+    idempotently emitted by every file of their repo (the reference's
+    hasattr-guarded init_*, individuals.py:104); keep the min-commit row."""
+    return window_dedup(entities, ["eid"],
+                        [F.col("commit").asc(), F.col("path").asc()])
+
+
 def compute_iris(entities: DataFrame, triples: DataFrame) -> DataFrame:
     """C3 -> (eid, iri).
 
@@ -135,6 +143,7 @@ def canonicalize_stage(entities: DataFrame, all_triples: DataFrame) -> DataFrame
     the plan-blowup problem, quadratic at scale. On a cluster these are the
     Stage-3 parquet/Iceberg checkpoints.
     """
+    entities = dedup_entities(entities)
     pruned = prune_dangling_ptypes(entities, all_triples).localCheckpoint()
     iri_map = compute_iris(entities, pruned).localCheckpoint()
     rewritten = apply_iris(pruned, iri_map)

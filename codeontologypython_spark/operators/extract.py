@@ -3,16 +3,17 @@
 
 One ``mapInPandas`` pass over the source_files table runs
 :func:`codeontologypython_spark.operators.pyfile.extract_file` per row and
-emits a unified record stream (entities / per-file triples / mentions /
+emits a unified flat record stream (entities / per-file triples / mentions /
 errors), split afterwards by cheap filter+select. Each file is parsed exactly
 once — the relational replacement for the reference's astroid FQN parse cache
 (parser.py:65-82, serializer.py:96-100).
 
-Scale notes:
-- the UDF is embarrassingly parallel per file; partitioning by (repo, path)
-  spreads hub repos across executors;
-- Arrow batch size is capped in session.py so batches of large files fit in
-  worker memory (SURVEY §7 hard-part 7);
+Throughput notes (measured, see BASELINE.md):
+- each input file emits ~10^3-10^4 output rows, so the OUTPUT path dominates:
+  frames are built from tuple lists per record family (C-speed constructors),
+  never dict-per-row;
+- output frames are yielded in bounded chunks so a batch of large files
+  cannot blow worker memory (SURVEY §7 hard-part 7);
 - per-row failures degrade to error records, never fail the job
   (parser.py:67-89 warn-and-skip).
 """
@@ -27,43 +28,120 @@ from pyspark.sql import functions as F
 
 from codeontologypython_spark.schemas import EXTRACT_OUTPUT
 
+_COLS = [f.name for f in EXTRACT_OUTPUT.fields]
+# rows per yielded output frame (~100 MB of strings at typical row sizes)
+_CHUNK_ROWS = 1_000_000
+
+
+class _FamilyBuffer:
+    """Columnar accumulator for ONE record family. Only the family's own
+    columns are Python lists; the other families' columns are added as
+    C-speed scalar None columns at frame time — so the per-triple cost is
+    exactly 8 list appends, nothing else."""
+
+    def __init__(self, rec: str, cols: list[str]):
+        self.rec = rec
+        self.names = cols
+        self.key_cols: list[list] = [[], [], []]  # repo, path, commit
+        self.cols: list[list] = [[] for _ in cols]
+        self.n = 0
+
+    def grow(self, key, n: int, values: list[list]):
+        if n == 0:
+            return
+        for lst, v in zip(self.key_cols, key):
+            lst.extend([v] * n)
+        for lst, src in zip(self.cols, values):
+            lst.extend(src)
+        self.n += n
+
+    def frame(self) -> pd.DataFrame:
+        data = {"repo": self.key_cols[0], "path": self.key_cols[1],
+                "commit": self.key_cols[2]}
+        df = pd.DataFrame(data)
+        df["rec"] = self.rec
+        for c, lst in zip(self.names, self.cols):
+            df[c] = lst
+        for c in _COLS:
+            if c not in df.columns:
+                df[c] = None
+        return df[_COLS]
+
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     # import inside the worker so the UDF ships cleanly via --py-files
-    from codeontologypython_spark.operators.pyfile import extract_file
+    import gc
 
-    for pdf in batches:
-        rows: list[dict] = []
-        for repo, path, commit, lang, content in zip(
-                pdf["repo"], pdf["path"], pdf["commit"], pdf["lang"], pdf["content"]):
-            base = {"repo": repo, "path": path, "commit": commit,
-                    "ent": None, "trp": None, "men": None, "err": None}
-            if lang != "python" or content is None:
-                continue  # non-python rows are ignored (FIXTURES.md §1 lang dispatch)
-            entities, triples, mentions, error = extract_file(repo, path, commit, content)
-            if error is not None:
-                stage, _, message = error.partition(":")
-                rows.append({**base, "rec": "err",
-                             "err": {"stage": stage, "message": message}})
-                continue
-            for e in entities:
-                rows.append({**base, "rec": "ent", "ent": {
-                    "eid": e["eid"], "kind": e["kind"], "name": e["name"],
-                    "fqn": e["fqn"], "line": e["line"], "attrs": e["attrs"]}})
-            for s, p, o, is_lit in triples:
-                rows.append({**base, "rec": "trp", "trp": {
-                    "subj": s, "pred": p, "obj": o, "obj_is_literal": is_lit}})
-            for m in mentions:
-                rows.append({**base, "rec": "men", "men": m})
-        yield pd.DataFrame(rows, columns=[f.name for f in EXTRACT_OUTPUT.fields])
+    from codeontologypython_spark.operators.pyfile import extract_file_columnar
+
+    # the extractor allocates ~10^4-10^5 objects per file while the buffer
+    # holds ~10^6 — cyclic GC passes over the buffer dominate runtime if left
+    # on (ast trees and the buffers are acyclic; refcounting frees them)
+    gc_was_enabled = gc.isenabled()
+    gc.disable()
+
+    def new_bufs():
+        return (
+            _FamilyBuffer("ent", ["e_eid", "e_kind", "e_name", "e_fqn", "e_line"]),
+            _FamilyBuffer("trp", ["t_subj", "t_pred", "t_obj", "t_lit"]),
+            _FamilyBuffer("men", ["m_subj", "m_pred", "m_kind", "m_cands", "m_raw"]),
+            _FamilyBuffer("err", ["err_stage", "err_msg"]),
+        )
+
+    try:
+        for pdf in batches:
+            ent_b, trp_b, men_b, err_b = new_bufs()
+            for repo, path, commit, lang, content in zip(
+                    pdf["repo"], pdf["path"], pdf["commit"],
+                    pdf["lang"], pdf["content"]):
+                if lang != "python" or content is None:
+                    continue  # non-python rows ignored (FIXTURES.md §1)
+                fx, error = extract_file_columnar(repo, path, commit, content)
+                key = (repo, path, commit)
+                if error is not None:
+                    stage, _, message = error.partition(":")
+                    err_b.grow(key, 1, [[stage], [message]])
+                    continue
+                ents = fx.entities
+                ent_b.grow(key, len(ents), [
+                    [e["eid"] for e in ents],
+                    [e["kind"] for e in ents],
+                    [e["name"] for e in ents],
+                    [e["fqn"] for e in ents],
+                    [None if e["line"] is None else str(e["line"])
+                     for e in ents],
+                ])
+                trp_b.grow(key, len(fx.t_subj), [
+                    fx.t_subj, fx.t_pred, fx.t_obj,
+                    ["1" if x else "0" for x in fx.t_lit],
+                ])
+                mens = fx.mentions
+                men_b.grow(key, len(mens), [
+                    [m["subj"] for m in mens],
+                    [m["pred"] for m in mens],
+                    [m["kind"] for m in mens],
+                    ["\x1f".join(m["candidates"]) for m in mens],
+                    [m["raw"] for m in mens],
+                ])
+                if ent_b.n + trp_b.n >= _CHUNK_ROWS:
+                    for b in (ent_b, trp_b, men_b, err_b):
+                        if b.n:
+                            yield b.frame()
+                    ent_b, trp_b, men_b, err_b = new_bufs()
+                    gc.collect()
+            for b in (ent_b, trp_b, men_b, err_b):
+                if b.n:
+                    yield b.frame()
+    finally:
+        if gc_was_enabled:
+            gc.enable()
 
 
 def extract_stage(src_df: DataFrame) -> DataFrame:
     """source_files -> unified extraction record stream.
 
     Filters non-python rows *before* the UDF so Catalyst pushes the predicate
-    into the parquet scan, and repartitions by (repo, path) so skewed repos
-    spread across all partitions.
+    into the parquet scan.
     """
     pythonic = src_df.filter(F.col("lang") == "python")
     return pythonic.mapInPandas(_extract_batches, schema=EXTRACT_OUTPUT)
@@ -76,11 +154,27 @@ def split_extraction(out_df: DataFrame):
     runs once, not four times.
     """
     entities = (out_df.filter(F.col("rec") == "ent")
-                .select("repo", "path", "commit", "ent.*"))
+                .select("repo", "path", "commit",
+                        F.col("e_eid").alias("eid"),
+                        F.col("e_kind").alias("kind"),
+                        F.col("e_name").alias("name"),
+                        F.col("e_fqn").alias("fqn"),
+                        F.col("e_line").cast("int").alias("line")))
     triples = (out_df.filter(F.col("rec") == "trp")
-               .select("repo", "commit", "trp.*"))
+               .select("repo", "commit",
+                       F.col("t_subj").alias("subj"),
+                       F.col("t_pred").alias("pred"),
+                       F.col("t_obj").alias("obj"),
+                       (F.col("t_lit") == "1").alias("obj_is_literal")))
     mentions = (out_df.filter(F.col("rec") == "men")
-                .select("repo", "path", "commit", "men.*"))
+                .select("repo", "path", "commit",
+                        F.col("m_subj").alias("subj"),
+                        F.col("m_pred").alias("pred"),
+                        F.col("m_kind").alias("kind"),
+                        F.split("m_cands", "\x1f").alias("candidates"),
+                        F.col("m_raw").alias("raw")))
     errors = (out_df.filter(F.col("rec") == "err")
-              .select("repo", "path", "commit", "err.*"))
+              .select("repo", "path", "commit",
+                      F.col("err_stage").alias("stage"),
+                      F.col("err_msg").alias("message")))
     return entities, triples, mentions, errors

@@ -313,13 +313,22 @@ class FileExtractor:
         self.module_fqn = module_fqn_of_path(path)
         self.library = library_of_path(path)
         self.entities: list[dict] = []
-        self.triples: list[tuple] = []
+        # triples kept COLUMNAR (4 parallel lists): the extractor emits ~10^4
+        # triples per file, and building a row tuple per triple measurably
+        # throttles multi-worker throughput (allocator + GC pressure)
+        self.t_subj: list[str] = []
+        self.t_pred: list[str] = []
+        self.t_obj: list[str] = []
+        self.t_lit: list[bool] = []
         self.mentions: list[dict] = []
         self._n = 0
         self._scopes: list[_Scope] = []
         self._import_map: dict[str, str] = {}   # local name -> absolute fqn
         self._class_stack: list[dict] = []
         self._loop_stack: list[str] = []
+        # precomputed for O(span) source extraction; ast.unparse would cost
+        # O(subtree) per statement and dominates extraction time
+        self._lines = content.splitlines(keepends=True)
 
     # ---- emission helpers -------------------------------------------------
 
@@ -336,10 +345,18 @@ class FileExtractor:
         self.t(eid, RDF_TYPE, WOC + kind, False)
         return eid
 
+    @property
+    def triples(self) -> list[tuple]:
+        """Row view of the columnar triple store (tests / small callers)."""
+        return list(zip(self.t_subj, self.t_pred, self.t_obj, self.t_lit))
+
     def t(self, s: str, p: str, o, is_lit: bool = False):
         if o is None:
             return
-        self.triples.append((s, p, str(o), is_lit))
+        self.t_subj.append(s)
+        self.t_pred.append(p)
+        self.t_obj.append(o if type(o) is str else str(o))
+        self.t_lit.append(is_lit)
 
     def lit(self, s: str, prop: str, value):
         if value is None:
@@ -358,9 +375,25 @@ class FileExtractor:
         })
 
     def _src(self, node) -> str:
+        """Source text of a node by position slicing (the reference's
+        ``node.as_string()`` re-generates normalized code; we keep the
+        literal source bytes — cheaper and loss-free)."""
+        if isinstance(node, ast.Module):
+            return self.content
+        ln = getattr(node, "lineno", None)
+        eln = getattr(node, "end_lineno", None)
+        if ln is None or eln is None:
+            return ""
+        col = node.col_offset
+        ecol = node.end_col_offset
+        lines = self._lines
         try:
-            return ast.unparse(node)
-        except Exception:
+            if ln == eln:
+                return lines[ln - 1][col:ecol]
+            return (lines[ln - 1][col:]
+                    + "".join(lines[ln:eln - 1])
+                    + lines[eln - 1][:ecol])
+        except IndexError:
             return ""
 
     # ---- name/candidate machinery (L1/L2/L3 per-file half) ----------------
@@ -1209,6 +1242,11 @@ class FileExtractor:
             inner = ast.Try(body=stmt.body, handlers=stmt.handlers,
                             orelse=stmt.orelse, finalbody=[])
             ast.copy_location(inner, stmt)
+            # the inner TryExcept's source span excludes the finally clause
+            # (astroid's virtual TryExcept, extractor.py:809-827)
+            last = (stmt.orelse or stmt.handlers)[-1]
+            inner.end_lineno = last.end_lineno
+            inner.end_col_offset = last.end_col_offset
             ast.fix_missing_locations(inner)
             inner_elems = self._try_except(inner, outer_block, member=True)
             for i, e in enumerate(inner_elems):
@@ -1278,17 +1316,25 @@ def _body_sans_docstring(node):
     return body
 
 
-def extract_file(repo: str, path: str, commit: str, content: str):
-    """Run extraction for one file; returns (entities, triples, mentions,
-    error). Errors are warn-and-skip rows, never raises
-    (parser.py:67-89 / utils.py:7-19 pass_on_exception)."""
+def extract_file_columnar(repo: str, path: str, commit: str, content: str):
+    """Run extraction for one file; returns (FileExtractor | None, error).
+    Errors are warn-and-skip rows, never raises (parser.py:67-89 /
+    utils.py:7-19 pass_on_exception)."""
     fx = FileExtractor(repo, path, commit, content)
     try:
         fx.run()
-        return fx.entities, fx.triples, fx.mentions, None
+        return fx, None
     except SyntaxError as e:
-        return [], [], [], f"parse:SyntaxError:{e.lineno}:{e.msg}"
+        return None, f"parse:SyntaxError:{e.lineno}:{e.msg}"
     except RecursionError:
-        return [], [], [], "parse:RecursionError"
+        return None, "parse:RecursionError"
     except Exception as e:  # pragma: no cover - defensive warn-and-skip
-        return [], [], [], f"extract:{type(e).__name__}:{e}"
+        return None, f"extract:{type(e).__name__}:{e}"
+
+
+def extract_file(repo: str, path: str, commit: str, content: str):
+    """Row-oriented convenience wrapper: (entities, triples, mentions, error)."""
+    fx, error = extract_file_columnar(repo, path, commit, content)
+    if fx is None:
+        return [], [], [], error
+    return fx.entities, fx.triples, fx.mentions, None

@@ -41,7 +41,11 @@ def get_spark(
         # enough that a batch of large files fits in worker memory
         # (SURVEY.md §7 hard-part 7)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # local mode: driver heap is the only memory knob; the extraction
+        # stage keeps ~cpus concurrent ~100MB Arrow batches in flight, and an
+        # undersized heap turns into kernel-side reclaim storms (measured
+        # 31% system time at 16g / 32 cores)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

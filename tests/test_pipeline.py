@@ -16,8 +16,10 @@ def test_iri_uniqueness_audit(extracted, final_triples):
     from codeontologypython_spark.operators.canonicalize import (
         audit_iri_uniqueness,
         compute_iris,
+        dedup_entities,
     )
-    iris = compute_iris(extracted["entities"], extracted["triples"])
+    iris = compute_iris(dedup_entities(extracted["entities"]),
+                        extracted["triples"])
     assert audit_iri_uniqueness(iris).isEmpty()
 
 

@@ -1,0 +1,79 @@
+"""Incremental re-extraction over newly-landed commits (SURVEY §2.9: the
+reference is batch-only; incremental processing is the one extension the new
+engine adds, expressed as Structured Streaming + an anti-join against
+processed lineage).
+
+Source: a directory of parquet files in the source_files shape — each new
+file dropped there is a new batch of (repo, path, commit) rows. foreachBatch:
+1. anti-join the batch against the processed-lineage table, so re-delivered
+   or unchanged rows (same repo/path/commit) cost nothing — the streaming
+   form of the reference's parse-once cache (parser.py:65-82);
+2. run the Stage-1 extractor on the remainder;
+3. append extraction records and the new lineage rows.
+
+Stages 2-3 (linking, canonicalization) run as periodic batch compactions over
+the accumulated extraction table — linking is corpus-global (the symbol table
+spans files), so it belongs in the batch layer, not per-microbatch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codeontologypython_spark.operators.extract import extract_stage
+from codeontologypython_spark.schemas import SOURCE_FILES
+
+
+def start_incremental_extract(
+    spark: SparkSession,
+    source_dir: str,
+    workdir: str,
+    trigger_available_now: bool = True,
+):
+    """Start the incremental extraction stream; returns the StreamingQuery."""
+    extract_path = os.path.join(workdir, "stream_extract")
+    lineage_path = os.path.join(workdir, "stream_lineage")
+    checkpoint = os.path.join(workdir, "stream_checkpoint")
+
+    stream = (spark.readStream
+              .schema(SOURCE_FILES)
+              .option("maxFilesPerTrigger", "16")
+              .parquet(source_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int):
+        s = batch_df.sparkSession
+        try:
+            processed = s.read.parquet(lineage_path)
+            todo = batch_df.join(processed, ["repo", "path", "commit"],
+                                 "left_anti")
+        except Exception:  # first batch: no lineage yet
+            todo = batch_df
+        if todo.isEmpty():
+            return
+        out = extract_stage(todo)
+        out.write.mode("append").parquet(extract_path)
+        (todo.select("repo", "path", "commit")
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(lineage_path))
+
+    writer = (stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact(spark: SparkSession, workdir: str) -> DataFrame:
+    """Batch compaction: link + canonicalize everything extracted so far."""
+    from codeontologypython_spark.operators.canonicalize import canonicalize_stage
+    from codeontologypython_spark.operators.extract import split_extraction
+    from codeontologypython_spark.operators.linking import link_stage
+
+    extracted = spark.read.parquet(os.path.join(workdir, "stream_extract"))
+    entities, triples, mentions, _ = split_extraction(extracted)
+    resolved = link_stage(entities, triples, mentions)
+    return canonicalize_stage(entities, triples.unionByName(resolved))

@@ -1,0 +1,154 @@
+"""Tests for the training-data-pipeline operators (dedup, similarity, text
+analysis, multimodal plumbing)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "s", 43),
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s", 43),  # exact dup
+        (2, "the quick brown fox jumps over the lazy cat", "en", "s", 43),  # near dup
+        (3, "completely different text with no overlap at all here", "en", "s", 54),
+        (4, "zz", "en", "s", 2),  # shorter than one shingle
+    ]
+    return spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]).cache()
+
+
+def test_exact_dedup(docs):
+    from codeontologypython_spark.functions.dedup import exact_dedup
+    out = {r["doc_id"]: r["dup_count"] for r in exact_dedup(docs).collect()}
+    assert out[0] == 2          # doc 1 collapsed into doc 0
+    assert 1 not in out
+    assert out[3] == 1
+
+
+def test_ngram_jaccard(docs):
+    from codeontologypython_spark.functions.dedup import ngram_jaccard_pairs
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 < pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs  # no shared shingles at all
+
+
+def test_minhash_vs_pure_python(docs):
+    """MinHash signature equals an independent pure-Python implementation."""
+    from codeontologypython_spark.functions.dedup import minhash_signature
+
+    def py_minhash(text, k):
+        toks = [t for t in text.split() if t]
+        shingles = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        return min(int(hashlib.md5(f"{k}:{s}".encode()).hexdigest()[:8], 16)
+                   for s in shingles)
+
+    rows = {r["doc"]: r for r in minhash_signature(docs).collect()}
+    assert 4 not in rows  # too short for a shingle
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for doc, r in rows.items():
+        for k in range(8):
+            assert r[f"mh_{k}"] == py_minhash(texts[doc], k)
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    from codeontologypython_spark.functions.dedup import minhash_lsh_pairs
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+             for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 3) not in pairs
+
+
+def test_simhash_properties(docs, spark):
+    from codeontologypython_spark.functions.dedup import (
+        simhash64,
+        simhash_near_dup_pairs,
+    )
+    vals = {r["doc_id"]: r["sh"] for r in docs.select(
+        "doc_id", simhash64(F.col("text")).alias("sh")).collect()}
+    assert vals[0] == vals[1]           # identical text -> identical simhash
+    assert vals[0] != vals[3]
+    assert all(0 <= v < 2 ** 64 for v in vals.values())
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             simhash_near_dup_pairs(docs, min_equal_chunks=4).collect()}
+    assert (0, 1) in pairs
+
+
+def test_cosine_topk_exact(spark):
+    from codeontologypython_spark.functions.similarity import cosine_topk
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.05])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+        .withColumn("embedding", F.col("embedding").cast("array<float>"))
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in
+           out.orderBy("rank").collect()]
+    assert got == [(3, 1), (1, 2)]
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, tmp_path):
+    from codeontologypython_spark.functions.similarity import (
+        cosine_topk,
+        lsh_ann_topk,
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, q, k=5)
+    approx = lsh_ann_topk(emb, q, k=5, dim=64, n_planes=3)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.2  # few planes + random vectors: sanity floor
+    # every approx hit must be a true neighbor of its bucket (cos computed
+    # exactly), and ranks are contiguous
+    assert all(r["rank"] >= 1 for r in approx.collect())
+
+
+def test_text_quality_and_lang(spark, docs):
+    from codeontologypython_spark.functions import textops as tx
+    out = docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n"),
+        tx.stopword_ratio(F.col("text")).alias("sw"),
+        tx.lang_id(F.col("text")).alias("lang")).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert rows[0]["n"] == 9
+    assert rows[0]["sw"] == pytest.approx(2 / 9)
+    assert rows[0]["lang"] == "en"
+    assert rows[4]["lang"] == "other"
+
+
+def test_doc_fingerprint_stability(docs):
+    from codeontologypython_spark.functions.textops import doc_fingerprint
+    out1 = {r["doc_id"]: r["fp"] for r in docs.select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert out1[0] == out1[1]
+    assert out1[0] != out1[3]
+    assert out1[4] is None  # no shingles -> null fingerprint
+
+
+def test_multimodal_plumbing(spark):
+    from codeontologypython_spark.functions.multimodal import (
+        decode_and_featurize,
+        frame_sample_plan,
+        synthetic_media_df,
+    )
+    media = synthetic_media_df(spark, 12)
+    feats = decode_and_featurize(media, fake=True).collect()
+    assert len(feats) == 12
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[0]["n_bytes"] == 128
+    assert len(by_id[0]["feature"]) == 8
+    # deterministic: same payload -> same feature
+    feats2 = decode_and_featurize(media, fake=True).collect()
+    assert {r["media_id"]: r["feature"] for r in feats2} == \
+           {r["media_id"]: r["feature"] for r in feats}
+    # real decode path is stubbed
+    with pytest.raises(Exception):
+        decode_and_featurize(media, fake=False).collect()
+    plan = frame_sample_plan(media, every_ms=2000)
+    vids = media.filter(F.col("kind") == "video").count()
+    assert plan.count() >= vids

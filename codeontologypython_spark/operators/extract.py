@@ -68,7 +68,8 @@ class _FamilyBuffer:
         return df[_COLS]
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _extract_batches(batches: Iterator[pd.DataFrame],
+                     emit_invokes: bool = False) -> Iterator[pd.DataFrame]:
     # import inside the worker so the UDF ships cleanly via --py-files
     import gc
 
@@ -96,7 +97,8 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     pdf["lang"], pdf["content"]):
                 if lang != "python" or content is None:
                     continue  # non-python rows ignored (FIXTURES.md §1)
-                fx, error = extract_file_columnar(repo, path, commit, content)
+                fx, error = extract_file_columnar(repo, path, commit, content,
+                                                  emit_invokes=emit_invokes)
                 key = (repo, path, commit)
                 if error is not None:
                     stage, _, message = error.partition(":")
@@ -137,14 +139,19 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             gc.enable()
 
 
-def extract_stage(src_df: DataFrame) -> DataFrame:
+def extract_stage(src_df: DataFrame, emit_invokes: bool = False) -> DataFrame:
     """source_files -> unified extraction record stream.
 
     Filters non-python rows *before* the UDF so Catalyst pushes the predicate
-    into the parquet scan.
+    into the parquet scan. ``emit_invokes`` opts into call-edge mentions
+    (off = reference parity, SURVEY §7 hard-part 3).
     """
     pythonic = src_df.filter(F.col("lang") == "python")
-    return pythonic.mapInPandas(_extract_batches, schema=EXTRACT_OUTPUT)
+
+    def run(batches):
+        return _extract_batches(batches, emit_invokes=emit_invokes)
+
+    return pythonic.mapInPandas(run, schema=EXTRACT_OUTPUT)
 
 
 def split_extraction(out_df: DataFrame):

@@ -304,7 +304,13 @@ class FileExtractor:
     """Extract one file. Produces .entities / .triples / .mentions lists."""
 
     def __init__(self, repo: str, path: str, commit: str, content: str,
-                 project_name: str | None = None):
+                 project_name: str | None = None,
+                 emit_invokes: bool = False):
+        # emit_invokes: the reference never emits woc:invokes (extract_call
+        # is a no-op, extractor.py:531-532; future work README.md:119), so
+        # parity runs keep this OFF; ON adds invokes mentions from Call
+        # expressions for the north_star's extended vocabulary.
+        self.emit_invokes = emit_invokes
         self.repo = repo
         self.path = path
         self.commit = commit
@@ -1039,8 +1045,14 @@ class FileExtractor:
         if isinstance(node, ast.Call):
             e = self.ent(self._eid("CallExpr"), "ExecutableInvocationExpression",
                          line=node.lineno)
-            # `invokes` deliberately NOT emitted (extractor.py:531-532,
-            # README.md:119 future work) — precision against reference output.
+            # `invokes` deliberately NOT emitted by default
+            # (extractor.py:531-532, README.md:119 future work) — precision
+            # against reference output; opt-in via emit_invokes.
+            if self.emit_invokes:
+                callee = dotted_name(node.func)
+                if callee:
+                    self.mention(e, WOC + "invokes", "import",
+                                 self.candidates_for(callee), callee)
         elif isinstance(node, ast.Lambda):
             e = self.ent(self._eid("LambdaExpr"), "LambdaExpression",
                          line=node.lineno)
@@ -1316,11 +1328,13 @@ def _body_sans_docstring(node):
     return body
 
 
-def extract_file_columnar(repo: str, path: str, commit: str, content: str):
+def extract_file_columnar(repo: str, path: str, commit: str, content: str,
+                          emit_invokes: bool = False):
     """Run extraction for one file; returns (FileExtractor | None, error).
     Errors are warn-and-skip rows, never raises (parser.py:67-89 /
     utils.py:7-19 pass_on_exception)."""
-    fx = FileExtractor(repo, path, commit, content)
+    fx = FileExtractor(repo, path, commit, content,
+                       emit_invokes=emit_invokes)
     try:
         fx.run()
         return fx, None

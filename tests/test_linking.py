@@ -123,3 +123,23 @@ def test_import_closure_follows_imports(spark, source_files):
     paths = {(r["repo"], r["path"]) for r in pruned.select("repo", "path").collect()}
     assert all(r == "fixtures/proj_basic" for r, _ in paths)
     assert ("fixtures/proj_basic", "pkg_a/mod2.py") in paths
+
+
+def test_invokes_behind_flag(spark, source_files):
+    """Off by default (reference parity); on, call mentions resolve to
+    local function entities (SURVEY §7 hard-part 3)."""
+    from pyspark.sql import functions as F
+    from codeontologypython_spark.operators.extract import (
+        extract_stage, split_extraction)
+    basic = source_files.filter(F.col("repo") == "fixtures/proj_basic")
+    _, _, m_off, _ = split_extraction(extract_stage(basic))
+    assert m_off.filter(F.col("pred").endswith("invokes")).isEmpty()
+
+    out = extract_stage(basic, emit_invokes=True).localCheckpoint()
+    e, t, m_on, _ = split_extraction(out)
+    inv = m_on.filter(F.col("pred").endswith("invokes"))
+    assert not inv.isEmpty()
+    resolved = linking.link_stage(e, t, m_on)
+    hits = (resolved.filter(F.col("pred").endswith("invokes"))
+            .join(e.select(F.col("eid").alias("obj"), "fqn"), "obj"))
+    assert "pkg_a.mod2.helper" in {r["fqn"] for r in hits.collect()}

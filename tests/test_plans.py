@@ -1,0 +1,70 @@
+"""Physical-plan quality gates (the '.explain and iterate' requirement):
+predicate pushdown reaches the parquet scans, column pruning limits
+ReadSchema, dimension joins go broadcast, aggregation is partial (map-side)
+before the exchange."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return "/root/testdata/sf0.01"
+
+
+def test_q5_broadcasts_and_prunes(spark, sf_dir):
+    import __spark_entry__ as em
+    plan = _plan(em.queries()["q5_local_supplier_volume"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    # lineitem scan reads only the 4 needed columns of 11
+    assert "struct<l_orderkey:bigint,l_suppkey:bigint," \
+           "l_extendedprice:double,l_discount:double>" in plan
+    # partial aggregation before the exchange
+    assert plan.index("HashAggregate") < plan.index("Exchange") or \
+        plan.count("HashAggregate") >= 2
+
+
+def test_q1_filter_pushdown(spark, sf_dir):
+    import __spark_entry__ as em
+    plan = _plan(em.queries()["q1_pricing_summary"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_extract_stage_lang_pushdown(spark, tmp_path):
+    """The lang filter applied before the UDF must reach the parquet scan."""
+    from codeontologypython_spark.corpus.fixtures import source_files_df
+    from codeontologypython_spark.operators.extract import extract_stage
+    p = str(tmp_path / "src")
+    source_files_df(spark).write.parquet(p)
+    plan = _plan(extract_stage(spark.read.parquet(p)))
+    assert "EqualTo(lang,python)" in plan.replace(" ", "")
+
+
+def test_symbol_table_join_is_broadcast(spark, extracted):
+    from codeontologypython_spark.operators.linking import (
+        build_symbol_table,
+        resolve_mentions,
+    )
+    st = build_symbol_table(extracted["entities"])
+    plan = _plan(resolve_mentions(extracted["mentions"], st,
+                                  broadcast_symtab=True))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_triple_table_partition_pruning(spark, final_triples, tmp_path):
+    """Reading one repo bucket of the partitioned triple table must scan only
+    that bucket's partition directory."""
+    from codeontologypython_spark.sources.tables import write_triple_table
+    p = str(tmp_path / "tt")
+    write_triple_table(final_triples, p)
+    df = spark.read.parquet(p).filter(F.col("repo_bucket") == 3)
+    plan = _plan(df)
+    assert "PartitionFilters: [isnotnull(repo_bucket" in plan \
+        or "repo_bucket#" in plan.split("PartitionFilters")[1][:200]

@@ -57,35 +57,85 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def kg_extract_run(cpus: int, n_files: int = KG_FILES,
-                   units: int = KG_UNITS, repeats: int = 2) -> tuple[int, float]:
+                   units: int = KG_UNITS, repeats: int = 2,
+                   udf_only: bool = False) -> tuple[int, float]:
     """Fresh session at the given parallelism; time Stage-1 extraction over
     an executor-side-generated synthetic corpus (~units*0.3 KB per file).
-    Returns (n_files, seconds)."""
+    Returns (n_files, best seconds of `repeats` runs).
+
+    udf_only=True consumes the extraction output inside the Python workers
+    (no Arrow egress): this isolates the part of the job that scales with
+    executor count on a real cluster. Local mode funnels every worker's
+    Arrow stream through ONE shared JVM, an artifact a multi-executor
+    cluster does not have (each executor ingests its own workers' output).
+    """
+    import pandas as pd
+
     from codeontologypython_spark.corpus.fixtures import synthetic_corpus_df
-    from codeontologypython_spark.operators.extract import extract_stage
+    from codeontologypython_spark.operators.extract import (
+        _extract_batches,
+        extract_stage,
+    )
     from codeontologypython_spark.session import get_spark
 
     spark = get_spark(cpus=cpus, shuffle_partitions=max(cpus, 8),
                       app_name=f"bench-kg-{cpus}")
-    # cpus*6 tasks: short tasks balance load and keep the per-task Arrow
-    # frames small enough that Python extraction and JVM consumption overlap
-    # instead of ping-ponging (measured 2.3x at 32 cores vs cpus*3)
+    # cpus*12 tasks: short tasks balance load and keep per-task Arrow frames
+    # small so Python extraction overlaps JVM consumption (measured sweep:
+    # x2 at 32 cores vs cpus*6)
+    parts = cpus * 12
     src = synthetic_corpus_df(spark, n_files, units=units,
-                              partitions=cpus * 6).cache()
+                              partitions=parts).cache()
     src.count()
+
+    def consume(batches):
+        n = 0
+        for f in _extract_batches(batches):
+            n += len(f)
+        yield pd.DataFrame({"rows": [n]})
+
+    def run_once(df):
+        if udf_only:
+            df.mapInPandas(consume, "rows long").collect()
+        else:
+            _noop_write(extract_stage(df))
+
     # warmup: a full-width pass over a small corpus so ALL Python workers
     # fork + import before the timed run (limit() would run as one task and
     # leave the other workers cold, poisoning the scaling measurement)
-    warm = synthetic_corpus_df(spark, cpus * 6, units=2, partitions=cpus * 6)
-    _noop_write(extract_stage(warm))
+    warm = synthetic_corpus_df(spark, parts, units=2, partitions=parts)
+    run_once(warm)
     best = None
     for _ in range(repeats):
         t0 = time.time()
-        _noop_write(extract_stage(src))
+        run_once(src)
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     spark.stop()
     return n_files, best
+
+
+def _burn(seconds: float) -> int:
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < seconds:
+        x += 1
+    return x
+
+
+def hw_ceiling(lo: int = 8, hi: int = 32, seconds: float = 2.0) -> float:
+    """Hardware scaling ceiling: pure-CPU busy loops at both process counts.
+    SMT + shared cache + frequency scaling mean 4x processes never reach 4x
+    throughput even with zero software overhead; engine efficiency should be
+    read against this ceiling (a real 4N-executor cluster on 4x the NODES has
+    ceiling 1.0)."""
+    import multiprocessing as mp
+
+    rates = {}
+    for n in (lo, hi):
+        with mp.Pool(n) as p:
+            rates[n] = sum(p.map(_burn, [seconds] * n))
+    return (rates[hi] / rates[lo]) / (hi / lo)
 
 
 def main():
@@ -109,6 +159,11 @@ def main():
     fps_lo = n_files / t_lo
     fps_hi = n_files / t_hi
     efficiency = (fps_hi / fps_lo) / (hi_cpus / lo_cpus)
+    # compute-side scaling: excludes the local-mode-only shared-JVM ingest
+    # (per-executor on a real cluster) — see kg_extract_run docstring
+    _, u_lo = kg_extract_run(lo_cpus, repeats=KG_REPEATS, udf_only=True)
+    _, u_hi = kg_extract_run(hi_cpus, repeats=KG_REPEATS, udf_only=True)
+    udf_efficiency = ((n_files / u_hi) / (n_files / u_lo)) / (hi_cpus / lo_cpus)
 
     total = round(time.time() - t_all, 3)
     print(json.dumps({
@@ -124,6 +179,10 @@ def main():
                 "cpus_lo": lo_cpus, "fps_lo": round(fps_lo, 1),
                 "cpus_hi": hi_cpus, "fps_hi": round(fps_hi, 1),
                 "efficiency": round(efficiency, 3),
+                "udf_fps_lo": round(n_files / u_lo, 1),
+                "udf_fps_hi": round(n_files / u_hi, 1),
+                "udf_efficiency": round(udf_efficiency, 3),
+                "hw_ceiling_efficiency": round(hw_ceiling(lo_cpus, hi_cpus), 3),
             },
         },
     }))

@@ -109,12 +109,20 @@ def resolve_mentions(mentions: DataFrame, symbol_table: DataFrame,
         joined = salted_join(m, st, "fqn", salt=salt)
     else:
         joined = m.join(st, "fqn")
-    best = top1_per_group(
-        joined, ["mention_id"],
-        [F.col("priority"), _kind_rank_col(), F.col("eid")])
+    # best candidate per mention via min(struct): lexicographic on
+    # (priority, kind_rank, eid). Unlike a row_number window keyed by the
+    # unique mention id, this aggregates map-side before the shuffle —
+    # the shuffle carries one row per mention, not one per candidate hit.
+    best = (joined
+            .groupBy("mention_id")
+            .agg(F.min(F.struct(
+                F.col("priority"), _kind_rank_col().alias("kr"),
+                F.col("eid"), F.col("repo"), F.col("commit"),
+                F.col("subj"), F.col("pred"))).alias("best")))
     return best.select(
-        "repo", "commit", "subj", "pred",
-        F.col("eid").alias("obj"), F.lit(False).alias("obj_is_literal"))
+        F.col("best.repo").alias("repo"), F.col("best.commit").alias("commit"),
+        F.col("best.subj").alias("subj"), F.col("best.pred").alias("pred"),
+        F.col("best.eid").alias("obj"), F.lit(False).alias("obj_is_literal"))
 
 
 def expand_wildcards(mentions: DataFrame, entities: DataFrame,

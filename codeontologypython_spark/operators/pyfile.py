@@ -279,6 +279,19 @@ _PROTECTED = WOC + "PythonProtectedAccessModifier"
 _PRIVATE = WOC + "PythonPrivateAccessModifier"
 
 
+class _IriCache(dict):
+    """Memoized `WOC + name` concatenation — the emitters run ~10^5 times
+    per file and repeated string concat of constants shows in profiles."""
+
+    def __missing__(self, key):
+        v = self[key] = WOC + key
+        return v
+
+
+_CLS_IRI = _IriCache()
+_PROP_IRI = _IriCache()
+
+
 def _access_modifier(name: str, in_class: bool) -> str:
     """extractor.py:1136-1144: private/protected by name convention inside a
     class scope, public otherwise."""
@@ -343,12 +356,11 @@ class FileExtractor:
         return f"{self.repo}|{self.path}|{self._n:05d}:{tag}"
 
     def ent(self, eid: str, kind: str, name: str | None = None,
-            fqn: str | None = None, line: int | None = None, **attrs) -> str:
+            fqn: str | None = None, line: int | None = None) -> str:
         self.entities.append({
             "eid": eid, "kind": kind, "name": name, "fqn": fqn, "line": line,
-            "attrs": {k: str(v) for k, v in attrs.items() if v is not None},
         })
-        self.t(eid, RDF_TYPE, WOC + kind, False)
+        self.t(eid, RDF_TYPE, _CLS_IRI[kind], False)
         return eid
 
     @property
@@ -367,9 +379,11 @@ class FileExtractor:
     def lit(self, s: str, prop: str, value):
         if value is None:
             return
-        if isinstance(value, bool):
-            value = "true" if value else "false"
-        self.t(s, WOC + prop, value, True)
+        if value is True:
+            value = "true"
+        elif value is False:
+            value = "false"
+        self.t(s, _PROP_IRI[prop], value, True)
 
     def mention(self, subj: str, pred: str, kind: str, candidates: list[str],
                 raw: str | None = None):

@@ -42,10 +42,12 @@ class PipelineResult:
 
 def _append_lineage(spark: SparkSession, lineage_path: str, stage: str,
                     per_repo: DataFrame):
+    if "partition_id" not in per_repo.columns:
+        per_repo = per_repo.withColumn("partition_id", F.lit(None).cast("int"))
     (per_repo
      .withColumn("stage", F.lit(stage))
      .select("stage", "repo",
-             F.lit(None).cast("int").alias("partition_id"),
+             F.col("partition_id").cast("int"),
              F.col("rows_in").cast("long"),
              F.col("rows_out").cast("long"),
              F.lit("ok").alias("status"))
@@ -87,10 +89,13 @@ def run_pipeline(
     extracted = spark.read.parquet(s1_path)
 
     rows_in = src_df.groupBy("repo").agg(F.count("*").alias("rows_in"))
-    rows_out = extracted.groupBy("repo").agg(F.count("*").alias("rows_out"))
+    # per-partition triple-count metrics (north_star: "checkpoints
+    # per-partition lineage and triple-count metrics")
+    rows_out = (extracted
+                .groupBy("repo", F.spark_partition_id().alias("partition_id"))
+                .agg(F.count("*").alias("rows_out")))
     _append_lineage(spark, lineage_path, "extract",
-                    rows_in.join(rows_out, "repo", "left")
-                    .fillna(0, subset=["rows_out"]))
+                    rows_out.join(rows_in, "repo", "left"))
 
     entities, triples, mentions, errors = split_extraction(extracted)
     # reused by many downstream joins — cache the split views
@@ -98,9 +103,16 @@ def run_pipeline(
     triples = triples.persist()
     mentions = mentions.persist()
 
-    # ---- Stage 2: link ----------------------------------------------------
+    # ---- Stage 2: link (parquet checkpoint for resume + plan isolation) ---
+    s2_path = os.path.join(workdir, "stage2_resolved")
     resolved = link_stage(entities, triples, mentions,
                           broadcast_symtab=broadcast_symtab, salt=salt)
+    resolved.write.mode("overwrite").parquet(s2_path)
+    resolved = spark.read.parquet(s2_path)
+    _append_lineage(
+        spark, lineage_path, "link",
+        resolved.groupBy("repo").agg(F.count("*").alias("rows_out"))
+        .withColumn("rows_in", F.lit(None).cast("long")))
     all_triples = triples.unionByName(resolved)
 
     # ---- Stage 3: canonicalize -------------------------------------------

@@ -76,11 +76,24 @@ def run_pipeline(
         src_df = select_import_closure(src_df, root_repos)
 
     # ---- Stage 1: extract (resumable at repo granularity) -----------------
+    # the done-set comes from LINEAGE, not from the stage-1 parquet dir:
+    # append-mode tasks commit individually, so a killed run leaves partial
+    # repo data in the dir — lineage rows are written only after the whole
+    # stage write succeeded, making them the safe resume marker
     done = None
-    if resume and _exists(spark, s1_path):
-        done = spark.read.parquet(s1_path)
-        done_repos = done.select("repo").distinct()
-        todo = src_df.join(done_repos, "repo", "left_anti")
+    if resume and _exists(spark, lineage_path) and _exists(spark, s1_path):
+        done = (spark.read.parquet(lineage_path)
+                .filter((F.col("stage") == "extract")
+                        & (F.col("status") == "ok"))
+                .select("repo").distinct())
+        todo = src_df.join(done, "repo", "left_anti")
+        # drop any partial output of repos that never reached lineage
+        stale = (spark.read.parquet(s1_path).select("repo").distinct()
+                 .join(done, "repo", "left_anti"))
+        if not stale.isEmpty():
+            kept = (spark.read.parquet(s1_path)
+                    .join(done, "repo", "left_semi").localCheckpoint())
+            kept.write.mode("overwrite").parquet(s1_path)
     else:
         todo = src_df
     if not todo.isEmpty():

@@ -26,17 +26,38 @@ WOC = woc.WOC
 
 
 def dedup_triples(triples: DataFrame) -> DataFrame:
-    """C1: one winner per (subj, pred, obj), min commit."""
-    return window_dedup(triples, ["subj", "pred", "obj"],
-                        [F.col("commit").asc(), F.col("repo").asc()])
+    """C1: one winner per (subj, pred, obj), min-commit tiebreak.
+
+    Implemented as groupBy + min(struct) rather than a row_number window:
+    identical result, but the aggregation partial-combines map-side, so the
+    shuffle carries one row per distinct triple instead of every duplicate
+    (the dominant cost at corpus scale where Project/Library/Package triples
+    are re-emitted by every file)."""
+    return (triples
+            .groupBy("subj", "pred", "obj")
+            .agg(F.min(F.struct("commit", "repo", "obj_is_literal"))
+                 .alias("w"))
+            .select(F.col("w.repo").alias("repo"),
+                    F.col("w.commit").alias("commit"),
+                    "subj", "pred", "obj",
+                    F.col("w.obj_is_literal").alias("obj_is_literal")))
 
 
 def dedup_entities(entities: DataFrame) -> DataFrame:
     """C1 for entity rows: shared entities (Project/Library/Package) are
     idempotently emitted by every file of their repo (the reference's
     hasattr-guarded init_*, individuals.py:104); keep the min-commit row."""
-    return window_dedup(entities, ["eid"],
-                        [F.col("commit").asc(), F.col("path").asc()])
+    return (entities
+            .groupBy("eid")
+            .agg(F.min(F.struct("commit", "path", "repo", "kind", "name",
+                                "fqn", "line")).alias("w"))
+            .select("eid", F.col("w.repo").alias("repo"),
+                    F.col("w.path").alias("path"),
+                    F.col("w.commit").alias("commit"),
+                    F.col("w.kind").alias("kind"),
+                    F.col("w.name").alias("name"),
+                    F.col("w.fqn").alias("fqn"),
+                    F.col("w.line").alias("line")))
 
 
 def compute_iris(entities: DataFrame, triples: DataFrame) -> DataFrame:
@@ -50,8 +71,14 @@ def compute_iris(entities: DataFrame, triples: DataFrame) -> DataFrame:
     files; at 10^12-file scale that assert would fail, so the eid term makes
     IRIs collision-free while staying deterministic in the input content.
     """
+    # each literal is pre-hashed so the aggregation shuffles 64-char digests
+    # instead of multi-KB hasSourceCode strings; the outer sha256 over the
+    # sorted digest list keeps determinism (the reference concatenates raw
+    # values, individuals.py:60-85 — same IRI-stability contract, different
+    # bytes, which is fine because IRI parity is engine-internal)
     own_lits = (triples.filter(F.col("obj_is_literal"))
-                .groupBy("subj").agg(F.collect_list("obj").alias("lits")))
+                .groupBy("subj")
+                .agg(F.collect_list(F.sha2("obj", 256)).alias("lits")))
     neighbor_names = (
         triples.filter(~F.col("obj_is_literal"))
         .join(entities.select(F.col("eid").alias("obj"),
@@ -119,10 +146,17 @@ def prune_dangling_ptypes(entities: DataFrame, triples: DataFrame) -> DataFrame:
     targs = (triples.filter(F.col("pred") == WOC + "hasActualTypeArgument")
              .join(dangling.withColumnRenamed("eid", "subj"), "subj")
              .select(F.col("obj").alias("eid")))
-    drop = dangling.unionByName(targs).distinct()
+    # the drop set is tiny (a subset of the type-annotation entities):
+    # broadcast it so the two anti-joins are map-side and the full triple
+    # stream is never shuffled
+    drop = dangling.unionByName(targs).distinct().localCheckpoint()
+    if drop.isEmpty():
+        return triples
     out = (triples
-           .join(drop.withColumnRenamed("eid", "subj"), "subj", "left_anti")
-           .join(drop.withColumnRenamed("eid", "obj"), "obj", "left_anti"))
+           .join(F.broadcast(drop.withColumnRenamed("eid", "subj")),
+                 "subj", "left_anti")
+           .join(F.broadcast(drop.withColumnRenamed("eid", "obj")),
+                 "obj", "left_anti"))
     return out
 
 
@@ -144,8 +178,13 @@ def canonicalize_stage(entities: DataFrame, all_triples: DataFrame) -> DataFrame
     Stage-3 parquet/Iceberg checkpoints.
     """
     entities = dedup_entities(entities)
-    pruned = prune_dangling_ptypes(entities, all_triples).localCheckpoint()
-    iri_map = compute_iris(entities, pruned).localCheckpoint()
-    rewritten = apply_iris(pruned, iri_map)
-    with_inv = materialize_inverses(rewritten)
-    return dedup_triples(with_inv)
+    pruned = prune_dangling_ptypes(entities, all_triples)
+    # dedup BEFORE IRI hashing: (a) the IRI aggregation then sees each
+    # neighbor name once (duplicate emissions would perturb the hash input),
+    # (b) the IRI-rewrite joins and the inverse union process one row per
+    # distinct triple. Inverses of distinct forward triples are distinct —
+    # only forward predicates are emitted upstream — so no second dedup.
+    deduped = dedup_triples(pruned).localCheckpoint()
+    iri_map = compute_iris(entities, deduped).localCheckpoint()
+    rewritten = apply_iris(deduped, iri_map)
+    return materialize_inverses(rewritten)

@@ -27,7 +27,10 @@ def get_spark(
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if shuffle_partitions is None:
-        shuffle_partitions = max(cpus, 4)
+        # several per core: the KG shuffles (dedup, IRI aggregation) move
+        # multi-GB string payloads, and undersized shuffle partitions spill;
+        # AQE coalesces small shuffles back down automatically
+        shuffle_partitions = max(cpus * 4, 16)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -27,7 +27,11 @@ def with_repo_bucket(df: DataFrame, n_buckets: int = N_REPO_BUCKETS) -> DataFram
 
 def write_triple_table(triples: DataFrame, path: str,
                        fmt: str = "parquet") -> None:
+    # repartition by the partition column first: otherwise every shuffle
+    # task writes a file into every bucket directory (tasks x buckets small
+    # files + per-task dynamic-partition sort — measured 6x slower)
     (with_repo_bucket(triples)
+     .repartition("repo_bucket")
      .write.mode("overwrite")
      .partitionBy("repo_bucket")
      .format(fmt)

@@ -304,6 +304,21 @@ def _kg_overrides(spark, sf_dir):
             .select("subj", "obj"))
 
 
+def _kg_sql_library_listing(spark, sf_dir):
+    """SURVEY §2.6: the README's SPARQL demo (README.md:54-93) expressed as
+    spark.sql over the triple table — rdf:type filter + property self-join."""
+    from codeontologypython_spark import woc
+    _kg_triples(spark).createOrReplaceTempView("kg_triples")
+    return spark.sql(f"""
+        SELECT DISTINCT n.obj AS library_name
+        FROM kg_triples t
+        JOIN kg_triples n ON t.subj = n.subj
+        WHERE t.pred = '{woc.RDF_TYPE}'
+          AND t.obj = '{woc.CLS["Library"]}'
+          AND n.pred = '{woc.DPROP["hasName"]}'
+    """)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -327,6 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_pairs": _q_simhash_pairs,
         "q_lsh_ann": _q_lsh_ann,
         "kg_library_names": _kg_library_names,
+        "kg_sql_library_listing": _kg_sql_library_listing,
         "kg_class_star": _kg_class_star,
         "kg_triples_by_predicate": _kg_triples_by_predicate,
         "kg_overrides": _kg_overrides,

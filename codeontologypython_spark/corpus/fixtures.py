@@ -249,6 +249,17 @@ _PROJ_HUB["hub/base_exports.py"] = '"""Re-export base."""\nBASE_NAME = "base"\n'
 _PROJ_HUB["hub/re_exports.py"] = (
     '"""Wildcard re-export chain."""\nfrom hub.base_exports import *\n'
 )
+_PROJ_HUB["hub/all_exports.py"] = (
+    '"""__all__ restricts wildcard exports (tracking.py:234-255)."""\n'
+    '__all__ = ["VISIBLE", "_EXPOSED_PRIVATE"]\n'
+    "VISIBLE = 1\n"
+    "_EXPOSED_PRIVATE = 2\n"
+    "HIDDEN = 3\n"
+)
+_PROJ_HUB["hub/all_user.py"] = (
+    '"""Imports through an __all__-restricted module."""\n'
+    "from hub.all_exports import *\n"
+)
 for _i in range(20):
     _PROJ_HUB[f"hub/user_{_i:02d}.py"] = (
         f'"""Hub user {_i:02d}."""\n'

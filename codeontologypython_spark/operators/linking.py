@@ -139,12 +139,25 @@ def expand_wildcards(mentions: DataFrame, entities: DataFrame,
                            F.lit(False).alias("obj_is_literal")).limit(0)
 
     ents = entities.withColumn("module_fqn", module_fqn_col(F.col("path")))
-    top_level = (ents.filter(
+    module_level = (ents.filter(
         F.col("kind").isin("Class", "Function", "GlobalVariable")
         & F.col("fqn").isNotNull()
-        & (F.col("fqn") == F.concat_ws(".", "module_fqn", "name"))
-        & ~F.col("name").startswith("_"))
-        .select("module_fqn", "eid"))
+        & (F.col("fqn") == F.concat_ws(".", "module_fqn", "name")))
+        .select("module_fqn", "name", "eid", "fqn"))
+    # __all__ restricts (and can expose underscore names): modules that
+    # declared exports use exactly that list; others default to public names
+    # (wildcard_import_names semantics, tracking.py:234-255)
+    declared = (mentions.filter(F.col("kind") == "export")
+                .select(F.col("subj").alias("module_fqn"),
+                        F.element_at("candidates", 1).alias("fqn"))
+                .distinct())
+    has_all = declared.select("module_fqn").distinct()
+    restricted = module_level.join(declared, ["module_fqn", "fqn"], "left_semi")
+    default = (module_level
+               .join(has_all, "module_fqn", "left_anti")
+               .filter(~F.col("name").startswith("_")))
+    top_level = (restricted.unionByName(default)
+                 .select("module_fqn", "eid"))
 
     # wildcard re-export edges: module w -> module m when w does
     # `from m import *`; derived from the wildcard mentions of w's own file

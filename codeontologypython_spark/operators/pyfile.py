@@ -1039,7 +1039,24 @@ class FileExtractor:
             if (self._scopes[-1].kind == "module" and not aug
                     and isinstance(target, ast.Name)):
                 self._maybe_alias(name)
+                if name == "__all__":
+                    self._emit_all_exports()
         return lv
+
+    def _emit_all_exports(self):
+        """``__all__ = [...]`` restricts wildcard exports (astroid's
+        wildcard_import_names honors it; tracking.py:234-255). Emitted as
+        'export' mentions consumed by Stage-2 wildcard expansion."""
+        info = self._scopes[0].bindings.get("__all__")
+        if not info or not isinstance(info["node"], ast.Assign):
+            return
+        rhs = info["node"].value
+        if not isinstance(rhs, (ast.List, ast.Tuple, ast.Set)):
+            return
+        for el in rhs.elts:
+            if isinstance(el, ast.Constant) and isinstance(el.value, str):
+                self.mention(self.module_fqn, "", "export",
+                             [f"{self.module_fqn}.{el.value}"], el.value)
 
     def _maybe_alias(self, name: str):
         info = self._scopes[0].bindings.get(name)

@@ -143,3 +143,16 @@ def test_invokes_behind_flag(spark, source_files):
     hits = (resolved.filter(F.col("pred").endswith("invokes"))
             .join(e.select(F.col("eid").alias("obj"), "fqn"), "obj"))
     assert "pkg_a.mod2.helper" in {r["fqn"] for r in hits.collect()}
+
+
+def test_wildcard_respects_dunder_all(linked, extracted):
+    """__all__ restricts wildcard exports and may expose underscore names
+    (wildcard_import_names semantics, tracking.py:234-255)."""
+    ents = extracted["entities"]
+    imports = linked.filter(F.col("pred") == WOC + "imports")
+    tgt = (imports.join(ents.select(F.col("eid").alias("obj"), "fqn"), "obj")
+           .filter(F.col("fqn").startswith("hub.all_exports.")))
+    got = {r["fqn"] for r in tgt.collect()}
+    assert "hub.all_exports.VISIBLE" in got
+    assert "hub.all_exports._EXPOSED_PRIVATE" in got
+    assert "hub.all_exports.HIDDEN" not in got

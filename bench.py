@@ -38,7 +38,7 @@ HEADLINE = [
 
 KG_FILES = int(os.environ.get("SPARK_GRAFT_KG_FILES", "3000"))
 KG_UNITS = int(os.environ.get("SPARK_GRAFT_KG_UNITS", "40"))
-KG_REPEATS = int(os.environ.get("SPARK_GRAFT_KG_REPEATS", "3"))
+KG_REPEATS = int(os.environ.get("SPARK_GRAFT_KG_REPEATS", "2"))
 
 
 def _noop_write(df):

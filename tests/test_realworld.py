@@ -27,3 +27,36 @@ def test_pyspark_sources_extract_cleanly():
         n_triples += len(t)
     assert failures == []
     assert n_triples > 100_000
+
+
+@pytest.mark.skipif(not PYSPARK_SRC, reason="pyspark sources not installed")
+def test_full_pipeline_on_real_code(spark, tmp_path):
+    """extract -> link -> canonicalize -> NT over a sample of PySpark's own
+    sources: real docstrings stress NT escaping; real imports/classes stress
+    linking. (Full-corpus run: 1,171 files -> 3.3M triples, 0 malformed NT
+    lines, 11k resolved imports / 3.4k extends / 1.9k overrides.)"""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from codeontologypython_spark.plans.pipeline import run_pipeline
+    from codeontologypython_spark.schemas import SOURCE_FILES
+
+    rows = []
+    for p in PYSPARK_SRC[::8]:
+        content = open(p, encoding="utf-8").read()
+        rel = p.replace("/opt/spark/python/", "")
+        rows.append(("pyspark", rel, "c0000001", "python", content))
+    src = spark.createDataFrame(rows, SOURCE_FILES).repartition(32)
+    res = run_pipeline(spark, src, str(tmp_path / "wd"), write_nt=True)
+    assert res.n_triples > 50_000
+
+    nt = spark.read.text(res.nt_path)
+    pat = re.compile(
+        r'^<[^>]+> <[^>]+> (<[^>]+>|"(\\.|[^"\\])*"(\^\^<[^>]+>)?) \.$')
+    assert nt.rdd.filter(lambda r: not pat.match(r.value)).isEmpty()
+
+    tri = spark.read.parquet(res.triples_path)
+    n_imports = tri.filter(
+        F.col("pred") == "http://rdf.webofcode.org/woc/imports").count()
+    assert n_imports > 100

@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from codeontologypython_spark import woc
 from codeontologypython_spark.schemas import EXTRACT_OUTPUT
 
 _COLS = [f.name for f in EXTRACT_OUTPUT.fields]
@@ -167,16 +168,27 @@ def split_extraction(out_df: DataFrame):
                         F.col("e_name").alias("name"),
                         F.col("e_fqn").alias("fqn"),
                         F.col("e_line").cast("int").alias("line")))
+    # the UDF emits short predicate/object codes (see pyfile.py note);
+    # expansion to full IRIs happens here, JVM-side, inside codegen
+    pred_full = (F.when(F.col("t_pred") == "a", F.lit(woc.RDF_TYPE))
+                 .when(F.col("t_pred") == "=", F.lit(woc.OWL_SAME_AS))
+                 .otherwise(F.concat(F.lit(woc.WOC), F.col("t_pred"))))
+    obj_full = (F.when((F.col("t_lit") == "0")
+                       & F.col("t_pred").isin("a", "hasModifier"),
+                       F.concat(F.lit(woc.WOC), F.col("t_obj")))
+                .otherwise(F.col("t_obj")))
     triples = (out_df.filter(F.col("rec") == "trp")
                .select("repo", "commit",
                        F.col("t_subj").alias("subj"),
-                       F.col("t_pred").alias("pred"),
-                       F.col("t_obj").alias("obj"),
+                       pred_full.alias("pred"),
+                       obj_full.alias("obj"),
                        (F.col("t_lit") == "1").alias("obj_is_literal")))
+    m_pred_full = (F.when(F.col("m_pred") == "", F.lit(""))
+                   .otherwise(F.concat(F.lit(woc.WOC), F.col("m_pred"))))
     mentions = (out_df.filter(F.col("rec") == "men")
                 .select("repo", "path", "commit",
                         F.col("m_subj").alias("subj"),
-                        F.col("m_pred").alias("pred"),
+                        m_pred_full.alias("pred"),
                         F.col("m_kind").alias("kind"),
                         F.split("m_cands", "\x1f").alias("candidates"),
                         F.col("m_raw").alias("raw")))

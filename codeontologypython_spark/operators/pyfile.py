@@ -274,22 +274,16 @@ WOC = "http://rdf.webofcode.org/woc/"
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 OWL_SAME_AS = "http://www.w3.org/2002/07/owl#sameAs"
 
-_PUBLIC = WOC + "PythonPublicAccessModifier"
-_PROTECTED = WOC + "PythonProtectedAccessModifier"
-_PRIVATE = WOC + "PythonPrivateAccessModifier"
+_PUBLIC = "PythonPublicAccessModifier"
+_PROTECTED = "PythonProtectedAccessModifier"
+_PRIVATE = "PythonPrivateAccessModifier"
 
 
-class _IriCache(dict):
-    """Memoized `WOC + name` concatenation — the emitters run ~10^5 times
-    per file and repeated string concat of constants shows in profiles."""
-
-    def __missing__(self, key):
-        v = self[key] = WOC + key
-        return v
-
-
-_CLS_IRI = _IriCache()
-_PROP_IRI = _IriCache()
+# NOTE: triples are emitted with SHORT predicate/object codes ("a" for
+# rdf:type, "=" for owl:sameAs, bare woc names otherwise); the expansion to
+# full IRIs is a JVM-side expression in operators/extract.py. This keeps
+# ~40 bytes/row of constant IRI prefix out of the Arrow stream (20M+ rows
+# per 500 files) and out of Python string memory.
 
 
 def _access_modifier(name: str, in_class: bool) -> str:
@@ -353,14 +347,14 @@ class FileExtractor:
 
     def _eid(self, tag: str) -> str:
         self._n += 1
-        return f"{self.repo}|{self.path}|{self._n:05d}:{tag}"
+        return f"{self.repo}|{self.path}|{self._n}"
 
     def ent(self, eid: str, kind: str, name: str | None = None,
             fqn: str | None = None, line: int | None = None) -> str:
         self.entities.append({
             "eid": eid, "kind": kind, "name": name, "fqn": fqn, "line": line,
         })
-        self.t(eid, RDF_TYPE, _CLS_IRI[kind], False)
+        self.t(eid, "a", kind, False)
         return eid
 
     @property
@@ -383,7 +377,7 @@ class FileExtractor:
             value = "true"
         elif value is False:
             value = "false"
-        self.t(s, _PROP_IRI[prop], value, True)
+        self.t(s, prop, value, True)
 
     def mention(self, subj: str, pred: str, kind: str, candidates: list[str],
                 raw: str | None = None):
@@ -447,7 +441,7 @@ class FileExtractor:
         if structured is None:
             return
         if isinstance(structured, str):
-            self.mention(owner_eid, WOC + pred, "type",
+            self.mention(owner_eid, pred, "type",
                          self.candidates_for(structured), structured)
         elif isinstance(structured, list):
             for alt in structured:
@@ -455,28 +449,28 @@ class FileExtractor:
         elif isinstance(structured, tuple):
             ptype = self._emit_parameterized(structured)
             if ptype:
-                self.t(owner_eid, WOC + pred, ptype, False)
+                self.t(owner_eid, pred, ptype, False)
 
     def _emit_parameterized(self, tup: tuple) -> str | None:
         generic, *args = tup
         if not isinstance(generic, str):
             return None
         ptype = self.ent(self._eid("PType"), "ParameterizedType")
-        self.mention(ptype, WOC + "hasGenericType", "type",
+        self.mention(ptype, "hasGenericType", "type",
                      self.candidates_for(generic), generic)
         for i, a in enumerate(args):
             targ = self.ent(self._eid("TArg"), "TypeArgument")
-            self.t(ptype, WOC + "hasActualTypeArgument", targ, False)
+            self.t(ptype, "hasActualTypeArgument", targ, False)
             self.lit(targ, "hasTypeArgumentPosition", i)
             alts = a if isinstance(a, list) else [a]
             for alt in alts:
                 if isinstance(alt, str):
-                    self.mention(targ, WOC + "hasArgumentType", "type",
+                    self.mention(targ, "hasArgumentType", "type",
                                  self.candidates_for(alt), alt)
                 elif isinstance(alt, tuple):
                     sub = self._emit_parameterized(alt)
                     if sub:
-                        self.t(targ, WOC + "hasArgumentType", sub, False)
+                        self.t(targ, "hasArgumentType", sub, False)
         return ptype
 
     # ---- entry point ------------------------------------------------------
@@ -494,8 +488,8 @@ class FileExtractor:
         self.lit(proj, "hasName", self.project_name)
         self.ent(lib, "Library", name=self.library)
         self.lit(lib, "hasName", self.library)
-        self.t(lib, WOC + "hasProject", proj, False)
-        self.t(proj, WOC + "hasDependency", lib, False)
+        self.t(lib, "hasProject", proj, False)
+        self.t(proj, "hasDependency", lib, False)
 
         doc = ast.get_docstring(tree, clean=False)
         description, _, _, _ = parse_docstring(doc)
@@ -503,7 +497,7 @@ class FileExtractor:
                  fqn=self.module_fqn)
         self.lit(pkg, "hasSimpleName", package_simple_name(self.path))
         self.lit(pkg, "hasFullyQualifiedName", self.module_fqn)
-        self.t(pkg, WOC + "hasLibrary", lib, False)
+        self.t(pkg, "hasLibrary", lib, False)
         self.lit(pkg, "hasDocumentation", description)
 
         # module block statement (extract_module, extractor.py:146-166):
@@ -512,7 +506,7 @@ class FileExtractor:
         self.lit(mblock, "hasSourceCode", self._src(tree))
         if getattr(tree, "end_lineno", None):
             self.lit(mblock, "hasEndLine", tree.body[-1].end_lineno if tree.body else None)
-        self.t(pkg, WOC + "hasBody", mblock, False)
+        self.t(pkg, "hasBody", mblock, False)
 
         self._scopes.append(_Scope("module", tree, pkg))
         self._collect_bindings(tree.body, self._scopes[-1])
@@ -620,7 +614,7 @@ class FileExtractor:
                            name=name, fqn=f"{self.module_fqn}.{name}",
                            line=getattr(node, "lineno", None))
             self.lit(eid, "hasSimpleName", name)
-            self.t(eid, WOC + "hasPackage",
+            self.t(eid, "hasPackage",
                    f"{self.repo}|Package|{self.module_fqn}", False)
             self.lit(eid, "hasFullyQualifiedName", f"{self.module_fqn}.{name}")
             decl = self.ent(self._eid(f"GVarDecl:{name}"),
@@ -628,10 +622,10 @@ class FileExtractor:
                             line=getattr(node, "lineno", None))
             self.lit(decl, "hasSourceCode", self._src(node))
             self.lit(decl, "hasLine", getattr(node, "lineno", None))
-            self.t(eid, WOC + "hasVariableDeclaration", decl, False)
+            self.t(eid, "hasVariableDeclaration", decl, False)
             stmt_eid = info.get("binder_stmt")
             if stmt_eid:
-                self.t(decl, OWL_SAME_AS, stmt_eid, False)
+                self.t(decl, "=", stmt_eid, False)
             info["eid"] = eid
             info["decl"] = decl
             return eid
@@ -644,13 +638,13 @@ class FileExtractor:
                             line=getattr(node, "lineno", None))
             self.lit(decl, "hasSourceCode", self._src(node))
             self.lit(decl, "hasLine", getattr(node, "lineno", None))
-            self.t(eid, WOC + "hasVariableDeclaration", decl, False)
+            self.t(eid, "hasVariableDeclaration", decl, False)
             declarer = info.get("binder_stmt") or scope.owner_eid
             if declarer:
-                self.t(declarer, WOC + "declares", eid, False)
+                self.t(declarer, "declares", eid, False)
             stmt_eid = info.get("binder_stmt")
             if stmt_eid:
-                self.t(decl, OWL_SAME_AS, stmt_eid, False)
+                self.t(decl, "=", stmt_eid, False)
             info["eid"] = eid
             return eid
         return None
@@ -669,7 +663,7 @@ class FileExtractor:
             for i, eid in enumerate(chain_elems):
                 self.lit(eid, "hasStatementPosition", i + 1)
                 if i + 1 < len(chain_elems):
-                    self.t(eid, WOC + "hasNextStatement", chain_elems[i + 1], False)
+                    self.t(eid, "hasNextStatement", chain_elems[i + 1], False)
 
     def _stmt_base(self, node, kind: str, tag: str, block_eid: str | None,
                    src_node=None, member: bool = True) -> str:
@@ -680,7 +674,7 @@ class FileExtractor:
         self.lit(eid, "hasSourceCode", self._src(src_node))
         self.lit(eid, "hasLine", getattr(src_node, "lineno", None))
         if member and block_eid:
-            self.t(block_eid, WOC + "hasBlockStatement", eid, False)
+            self.t(block_eid, "hasBlockStatement", eid, False)
         return eid
 
     def _block_individual(self, node, block_eid: str | None, end_lineno=None,
@@ -711,7 +705,7 @@ class FileExtractor:
         for alias in stmt.names:
             self._import_map[alias.asname or alias.name.split(".")[0]] = (
                 alias.name if alias.asname else alias.name.split(".")[0])
-            self.mention(eid, WOC + "imports", "import", [alias.name], alias.name)
+            self.mention(eid, "imports", "import", [alias.name], alias.name)
         return [eid]
 
     def _stmt_ImportFrom(self, stmt: ast.ImportFrom, block_eid):
@@ -719,13 +713,13 @@ class FileExtractor:
         base = self._resolve_from_module(stmt)
         for alias in stmt.names:
             if alias.name == "*":
-                self.mention(eid, WOC + "imports", "wildcard", [base], base)
+                self.mention(eid, "imports", "wildcard", [base], base)
                 continue
             target = f"{base}.{alias.name}" if base else alias.name
             self._import_map[alias.asname or alias.name] = target
             # only the named entity itself — a failed lookup yields nothing,
             # matching the reference's give-up-on-failure (parser.py:67-89)
-            self.mention(eid, WOC + "imports", "import", [target], target)
+            self.mention(eid, "imports", "import", [target], target)
         return [eid]
 
     def _resolve_from_module(self, stmt: ast.ImportFrom) -> str:
@@ -761,13 +755,13 @@ class FileExtractor:
                        name=stmt.name, fqn=fqn, line=stmt.lineno)
         decl = self._stmt_base(stmt, "DeclarationStatement", "ClassDecl", block_eid)
         cblock = self._block_individual(stmt, block_eid)
-        self.t(decl, WOC + "declares", cls, False)
-        self.t(cls, WOC + "hasModifier", _PUBLIC, False)
+        self.t(decl, "declares", cls, False)
+        self.t(cls, "hasModifier", _PUBLIC, False)
         self.lit(cls, "hasSimpleName", stmt.name)
         description, _, _, _ = parse_docstring(ast.get_docstring(stmt, clean=False))
         self.lit(cls, "hasDocumentation", description)
-        self.t(cls, WOC + "hasBody", cblock, False)
-        self.t(cls, WOC + "hasPackage",
+        self.t(cls, "hasBody", cblock, False)
+        self.t(cls, "hasPackage",
                f"{self.repo}|Package|{self.module_fqn}", False)
         if fqn:
             self.lit(cls, "hasFullyQualifiedName", fqn)
@@ -777,7 +771,7 @@ class FileExtractor:
         for i, base in enumerate(stmt.bases):
             bname = dotted_name(base)
             if bname:
-                self.mention(cls, WOC + "extends", "base",
+                self.mention(cls, "extends", "base",
                              self.candidates_for(bname), f"{i}:{bname}")
 
         # class body
@@ -841,15 +835,15 @@ class FileExtractor:
                             line=getattr(node, "lineno", None))
             self.lit(decl, "hasSourceCode", self._src(node))
             self.lit(decl, "hasLine", getattr(node, "lineno", None))
-            self.t(fid, WOC + "hasVariableDeclaration", decl, False)
+            self.t(fid, "hasVariableDeclaration", decl, False)
             self.lit(fid, "hasSimpleName", name)
             if cls_fqn:
                 self.lit(fid, "hasFullyQualifiedName", f"{cls_fqn}.{name}")
-            self.t(cls_eid, WOC + "declares", fid, False)
-            self.t(cls_eid, WOC + "hasField", fid, False)
+            self.t(cls_eid, "declares", fid, False)
+            self.t(cls_eid, "hasField", fid, False)
             self.lit(fid, "hasDocumentation", f.get("desc"))
             self.emit_type_mentions(fid, f.get("ann"))
-            self.t(fid, WOC + "hasModifier", _access_modifier(name, True), False)
+            self.t(fid, "hasModifier", _access_modifier(name, True), False)
 
     # -- functions / methods / constructors (extractor.py:280-343) --
 
@@ -875,8 +869,8 @@ class FileExtractor:
                       name=stmt.name, fqn=fn_fqn, line=stmt.lineno)
         decl = self._stmt_base(stmt, "DeclarationStatement", "FuncDecl", block_eid)
         fblock = self._block_individual(stmt, block_eid)
-        self.t(decl, WOC + "hasBody", fblock, False)
-        self.t(fn, WOC + "hasDeclaration", decl, False)
+        self.t(decl, "hasBody", fblock, False)
+        self.t(fn, "hasDeclaration", decl, False)
         self.lit(fn, "hasSourceCode", self._src(stmt))
         doc = ast.get_docstring(stmt, clean=False)
         description, dparams, dret_t, dret_desc = parse_docstring(doc)
@@ -884,19 +878,19 @@ class FileExtractor:
 
         cls = self._class_stack[-1] if in_class else None
         if is_ctor:
-            self.t(fn, WOC + "hasModifier", _PUBLIC, False)
-            self.t(cls["eid"], WOC + "hasConstructor", fn, False)
+            self.t(fn, "hasModifier", _PUBLIC, False)
+            self.t(cls["eid"], "hasConstructor", fn, False)
         elif is_method:
             self.lit(fn, "hasName", stmt.name)
-            self.t(fn, WOC + "hasModifier",
+            self.t(fn, "hasModifier",
                    _access_modifier(stmt.name, True), False)
-            self.t(cls["eid"], WOC + "hasMethod", fn, False)
+            self.t(cls["eid"], "hasMethod", fn, False)
         else:
             self.lit(fn, "hasSimpleName", stmt.name)
             if len(self._scopes) == 1:  # module-level function
                 self.lit(fn, "hasFullyQualifiedName",
                          f"{self.module_fqn}.{stmt.name}")
-                self.t(fn, WOC + "hasPackage",
+                self.t(fn, "hasPackage",
                        f"{self.repo}|Package|{self.module_fqn}", False)
 
         # parameters (transformer/__init__.py:164-261 P7;
@@ -934,12 +928,12 @@ class FileExtractor:
             self.lit(pid, "isVarArgs", va)
             self.lit(pid, "isPositionalOnly", po)
             self.lit(pid, "isKeywordOnly", ko)
-            self.t(fn, WOC + "hasParameter", pid, False)
+            self.t(fn, "hasParameter", pid, False)
             # type: annotation > docstring > default-literal inference;
             # first param of a method/ctor is the class itself
             # (transformer self-reference typing)
             if j == 0 and (is_method or is_ctor) and a.annotation is None:
-                self.t(pid, WOC + "hasType", cls["eid"], False)
+                self.t(pid, "hasType", cls["eid"], False)
             elif a.annotation is not None:
                 self.emit_type_mentions(pid, structure_annotation(a.annotation))
             elif dt:
@@ -994,13 +988,13 @@ class FileExtractor:
         self.lit(expr, "hasLine", stmt.lineno)
         if value is not None:
             vexpr = self._extract_expression(value)
-            self.t(expr, WOC + "hasRightHandSide", vexpr, False)
-            self.t(expr, WOC + "hasSubExpression", vexpr, False)
+            self.t(expr, "hasRightHandSide", vexpr, False)
+            self.t(expr, "hasSubExpression", vexpr, False)
         in_class = self._scopes[-1].kind == "class"
         for i, tgt in enumerate(targets):
             lv = self._left_value(i, tgt, stmt_eid=eid, annotation=annotation,
                                   aug=aug, in_class=in_class)
-            self.t(expr, WOC + "hasLeftHandSide", lv, False)
+            self.t(expr, "hasLeftHandSide", lv, False)
         return [eid]
 
     def _left_value(self, position: int, target, stmt_eid: str,
@@ -1014,7 +1008,7 @@ class FileExtractor:
         if isinstance(target, (ast.Tuple, ast.List)):
             for j, e in enumerate(target.elts):
                 sub = self._left_value(j, e, stmt_eid, aug=aug, in_class=in_class)
-                self.t(lv, WOC + "hasLeftValue", sub, False)
+                self.t(lv, "hasLeftValue", sub, False)
             return lv
         if aug or in_class:
             return lv
@@ -1032,7 +1026,7 @@ class FileExtractor:
                 hit[1]["binder_stmt"] = stmt_eid
             var = self._var_individual(name)
             if var is not None:
-                self.t(lv, WOC + "hasLeftValue", var, False)
+                self.t(lv, "hasLeftValue", var, False)
                 if annotation is not None and isinstance(target, ast.Name):
                     self.emit_type_mentions(var, structure_annotation(annotation))
             # module-level alias chase seed (tracking.py:330-380 L5)
@@ -1082,7 +1076,7 @@ class FileExtractor:
             if self.emit_invokes:
                 callee = dotted_name(node.func)
                 if callee:
-                    self.mention(e, WOC + "invokes", "import",
+                    self.mention(e, "invokes", "import",
                                  self.candidates_for(callee), callee)
         elif isinstance(node, ast.Lambda):
             e = self.ent(self._eid("LambdaExpr"), "LambdaExpression",
@@ -1099,7 +1093,7 @@ class FileExtractor:
     def _sub_expressions(self, node, parent_eid: str):
         if isinstance(node, (ast.Call, ast.Lambda)):
             sub = self._extract_expression(node)
-            self.t(parent_eid, WOC + "hasSubExpression", sub, False)
+            self.t(parent_eid, "hasSubExpression", sub, False)
             return
         for child in ast.iter_child_nodes(node):
             self._sub_expressions(child, parent_eid)
@@ -1109,31 +1103,31 @@ class FileExtractor:
     def _stmt_Expr(self, stmt: ast.Expr, block_eid):
         eid = self._stmt_base(stmt, "ExpressionStatement", "ExprStmt", block_eid)
         expr = self._extract_expression(stmt.value)
-        self.t(eid, WOC + "hasSubExpression", expr, False)
+        self.t(eid, "hasSubExpression", expr, False)
         return [eid]
 
     def _stmt_Return(self, stmt: ast.Return, block_eid):
         eid = self._stmt_base(stmt, "ReturnStatement", "Return", block_eid)
         if stmt.value is not None:
             expr = self._extract_expression(stmt.value)
-            self.t(eid, WOC + "hasReturnedExpression", expr, False)
+            self.t(eid, "hasReturnedExpression", expr, False)
         fn = next((s.owner_eid for s in reversed(self._scopes)
                    if s.kind == "function"), None)
         if fn:
-            self.t(fn, WOC + "hasReturnStatement", eid, False)
+            self.t(fn, "hasReturnStatement", eid, False)
         return [eid]
 
     def _stmt_Assert(self, stmt: ast.Assert, block_eid):
         eid = self._stmt_base(stmt, "AssertStatement", "Assert", block_eid)
         expr = self._extract_expression(stmt.test)
-        self.t(eid, WOC + "hasAssertExpression", expr, False)
+        self.t(eid, "hasAssertExpression", expr, False)
         return [eid]
 
     def _stmt_Raise(self, stmt: ast.Raise, block_eid):
         eid = self._stmt_base(stmt, "ThrowStatement", "Raise", block_eid)
         if stmt.exc is not None:
             expr = self._extract_expression(stmt.exc)
-            self.t(eid, WOC + "hasThrownExpression", expr, False)
+            self.t(eid, "hasThrownExpression", expr, False)
         return [eid]
 
     def _branch_target(self) -> str | None:
@@ -1143,14 +1137,14 @@ class FileExtractor:
         eid = self._stmt_base(stmt, "BreakStatement", "Break", block_eid)
         tgt = self._branch_target()
         if tgt:
-            self.t(eid, WOC + "hasTargetedBlock", tgt, False)
+            self.t(eid, "hasTargetedBlock", tgt, False)
         return [eid]
 
     def _stmt_Continue(self, stmt, block_eid):
         eid = self._stmt_base(stmt, "ContinueStatement", "Continue", block_eid)
         tgt = self._branch_target()
         if tgt:
-            self.t(eid, WOC + "hasTargetedBlock", tgt, False)
+            self.t(eid, "hasTargetedBlock", tgt, False)
         return [eid]
 
     def _stmt_Pass(self, stmt, block_eid):
@@ -1181,9 +1175,9 @@ class FileExtractor:
         then_end = stmt.body[-1].end_lineno if stmt.body else None
         then_block = self._block_individual(stmt, block_eid if not as_elif else None,
                                             end_lineno=then_end)
-        self.t(eid, WOC + "hasThenBranch", then_block, False)
+        self.t(eid, "hasThenBranch", then_block, False)
         cond = self._extract_expression(stmt.test)
-        self.t(eid, WOC + "hasCondition", cond, False)
+        self.t(eid, "hasCondition", cond, False)
         self._emit_block_members(stmt.body, then_block, chain=True)
 
         if stmt.orelse:
@@ -1191,13 +1185,13 @@ class FileExtractor:
                        and stmt.orelse[0].col_offset == stmt.col_offset)
             if is_elif:
                 sub = self._stmt_If(stmt.orelse[0], None, as_elif=True)
-                self.t(eid, WOC + "hasElseBranch", sub[0], False)
+                self.t(eid, "hasElseBranch", sub[0], False)
                 self.lit(sub[0], "hasStatementPosition", 1)
             else:
                 else_end = stmt.orelse[-1].end_lineno
                 else_block = self._block_individual(
                     stmt, block_eid if not as_elif else None, end_lineno=else_end)
-                self.t(eid, WOC + "hasElseBranch", else_block, False)
+                self.t(eid, "hasElseBranch", else_block, False)
                 self._emit_block_members(stmt.orelse, else_block, chain=True)
         return [eid]
 
@@ -1210,7 +1204,7 @@ class FileExtractor:
     def _for_stmt(self, stmt, block_eid):
         eid = self._stmt_base(stmt, "ForEachStatement", "For", block_eid)
         fblock = self._block_individual(stmt, block_eid)
-        self.t(eid, WOC + "hasBody", fblock, False)
+        self.t(eid, "hasBody", fblock, False)
         targets = (stmt.target.elts
                    if isinstance(stmt.target, (ast.Tuple, ast.List))
                    else [stmt.target])
@@ -1221,9 +1215,9 @@ class FileExtractor:
                     hit[1]["binder_stmt"] = eid
                 var = self._var_individual(tgt.id)
                 if var:
-                    self.t(eid, WOC + "hasForEachVariable", var, False)
+                    self.t(eid, "hasForEachVariable", var, False)
         it = self._extract_expression(stmt.iter)
-        self.t(eid, WOC + "hasIterable", it, False)
+        self.t(eid, "hasIterable", it, False)
         self._loop_stack.append(eid)
         self._emit_block_members(stmt.body, fblock, chain=True)
         self._loop_stack.pop()
@@ -1234,9 +1228,9 @@ class FileExtractor:
     def _stmt_While(self, stmt: ast.While, block_eid):
         eid = self._stmt_base(stmt, "WhileStatement", "While", block_eid)
         wblock = self._block_individual(stmt, block_eid)
-        self.t(eid, WOC + "hasBody", wblock, False)
+        self.t(eid, "hasBody", wblock, False)
         cond = self._extract_expression(stmt.test)
-        self.t(eid, WOC + "hasCondition", cond, False)
+        self.t(eid, "hasCondition", cond, False)
         self._loop_stack.append(eid)
         self._emit_block_members(stmt.body, wblock, chain=True)
         self._loop_stack.pop()
@@ -1253,7 +1247,7 @@ class FileExtractor:
     def _with_stmt(self, stmt, block_eid):
         eid = self._stmt_base(stmt, "Statement", "With", block_eid)
         wblock = self._block_individual(stmt, block_eid)
-        self.t(eid, WOC + "hasBody", wblock, False)
+        self.t(eid, "hasBody", wblock, False)
         for item in stmt.items:
             if item.optional_vars is not None:
                 for nm in self._target_names(item.optional_vars):
@@ -1275,13 +1269,13 @@ class FileExtractor:
                 stmt, block_eid,
                 end_lineno=(stmt.handlers[-1].body[-1].end_lineno
                             if stmt.handlers[-1].body else None))
-            self.t(outer_try, WOC + "hasBody", outer_block, False)
+            self.t(outer_try, "hasBody", outer_block, False)
             fin = self._stmt_base(stmt, "FinallyStatement", "Finally", block_eid)
             fin_block = self._block_individual(
                 stmt, block_eid, end_lineno=stmt.finalbody[-1].end_lineno)
-            self.t(fin, WOC + "hasBody", fin_block, False)
-            self.t(outer_try, WOC + "hasNextStatement", fin, False)
-            self.t(outer_try, WOC + "hasFinallyClause", fin, False)
+            self.t(fin, "hasBody", fin_block, False)
+            self.t(outer_try, "hasNextStatement", fin, False)
+            self.t(outer_try, "hasFinallyClause", fin, False)
             inner = ast.Try(body=stmt.body, handlers=stmt.handlers,
                             orelse=stmt.orelse, finalbody=[])
             ast.copy_location(inner, stmt)
@@ -1295,7 +1289,7 @@ class FileExtractor:
             for i, e in enumerate(inner_elems):
                 self.lit(e, "hasStatementPosition", i + 1)
                 if i + 1 < len(inner_elems):
-                    self.t(e, WOC + "hasNextStatement", inner_elems[i + 1], False)
+                    self.t(e, "hasNextStatement", inner_elems[i + 1], False)
             self._emit_block_members(stmt.finalbody, fin_block, chain=True)
             return [outer_try, fin]
         if stmt.handlers:
@@ -1305,14 +1299,14 @@ class FileExtractor:
         tblock = self._block_individual(
             stmt, block_eid,
             end_lineno=stmt.body[-1].end_lineno if stmt.body else None)
-        self.t(tr, WOC + "hasBody", tblock, False)
+        self.t(tr, "hasBody", tblock, False)
         fin = self._stmt_base(stmt, "FinallyStatement", "Finally", block_eid)
         fin_block = self._block_individual(
             stmt, block_eid,
             end_lineno=stmt.finalbody[-1].end_lineno if stmt.finalbody else None)
-        self.t(fin, WOC + "hasBody", fin_block, False)
-        self.t(tr, WOC + "hasNextStatement", fin, False)
-        self.t(tr, WOC + "hasFinallyClause", fin, False)
+        self.t(fin, "hasBody", fin_block, False)
+        self.t(tr, "hasNextStatement", fin, False)
+        self.t(tr, "hasFinallyClause", fin, False)
         self._emit_block_members(stmt.body, tblock, chain=True)
         self._emit_block_members(stmt.finalbody, fin_block, chain=True)
         return [tr, fin]
@@ -1323,7 +1317,7 @@ class FileExtractor:
         tblock = self._block_individual(
             stmt, block_eid,
             end_lineno=stmt.body[-1].end_lineno if stmt.body else None)
-        self.t(tr, WOC + "hasBody", tblock, False)
+        self.t(tr, "hasBody", tblock, False)
         self._emit_block_members(stmt.body, tblock, chain=True)
         elems = [tr]
         for h in stmt.handlers:
@@ -1332,14 +1326,14 @@ class FileExtractor:
             cblock = self._block_individual(
                 h, block_eid,
                 end_lineno=h.body[-1].end_lineno if h.body else None, src_node=h)
-            self.t(catch, WOC + "hasBody", cblock, False)
-            self.t(tr, WOC + "hasCatchClause", catch, False)
+            self.t(catch, "hasBody", cblock, False)
+            self.t(tr, "hasCatchClause", catch, False)
             if h.type is not None:
                 types = h.type.elts if isinstance(h.type, ast.Tuple) else [h.type]
                 for ty in types:
                     tyname = dotted_name(ty)
                     if tyname:
-                        self.mention(catch, WOC + "hasCatchFormalParameter",
+                        self.mention(catch, "hasCatchFormalParameter",
                                      "type", self.candidates_for(tyname), tyname)
             self._emit_block_members(h.body, cblock, chain=True)
             elems.append(catch)

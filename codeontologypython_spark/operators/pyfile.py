@@ -103,15 +103,231 @@ def clean_description(text: str | None) -> str | None:
     return text.strip()
 
 
+_GOOGLE_SECTIONS = {
+    "args", "arguments", "parameters", "keyword args", "keyword arguments",
+    "other parameters", "returns", "return", "yields", "yield", "raises",
+    "attributes", "examples", "example", "notes", "note", "see also",
+    "warns", "warnings", "warning", "todo", "references", "methods",
+}
+_GOOGLE_HDR_RE = re.compile(r"^([ \t]*)([A-Za-z][A-Za-z ]+):\s*$")
+_NUMPY_HDR_RE = re.compile(r"^[ \t]*([A-Za-z][A-Za-z ]+)\s*\n[ \t]*-{3,}[ \t]*$",
+                           re.M)
+_SPHINX_FIELD_RE = re.compile(
+    r"^\s*:(param|parameter|arg|argument|returns?|rtype|type|raises?|"
+    r"keyword|key|yields?|vartype|var|ivar|cvar)\b", re.M)
+_EPYDOC_FIELD_RE = re.compile(
+    r"^\s*@(param|type|returns?|rtype|raises?|keyword|ivar|cvar|var)\b", re.M)
+
+
+def _detect_style(text: str) -> str:
+    """Auto style detection, approximating ``docstring_parser.parse``'s
+    AUTO mode (the reference relies on it, parser.py:180, :211, :228):
+    Sphinx/ReST fields, Epydoc @fields, NumPy dashed sections, Google
+    titled sections."""
+    if _SPHINX_FIELD_RE.search(text):
+        return "sphinx"
+    if _EPYDOC_FIELD_RE.search(text):
+        return "epydoc"
+    for m in _NUMPY_HDR_RE.finditer(text):
+        if m.group(1).strip().lower() in _GOOGLE_SECTIONS:
+            return "numpy"
+    for line in text.splitlines():
+        m = _GOOGLE_HDR_RE.match(line)
+        if m and m.group(2).strip().lower() in _GOOGLE_SECTIONS:
+            return "google"
+    return "sphinx"  # default: no fields found; body-only either way
+
+
+def _parse_google(lines: list[str]):
+    """Google style: ``Args:`` / ``Returns:`` titled, indented sections."""
+    body_lines: list[str] = []
+    params: dict[str, tuple[str | None, str | None]] = {}
+    ret_type = ret_desc = None
+    i, n = 0, len(lines)
+    while i < n:
+        m = _GOOGLE_HDR_RE.match(lines[i])
+        section = m.group(2).strip().lower() if m else None
+        if not (m and section in _GOOGLE_SECTIONS):
+            body_lines.append(lines[i])
+            i += 1
+            continue
+        hdr_indent = len(m.group(1))
+        # collect the section: lines blank or indented deeper than the header
+        sec: list[str] = []
+        i += 1
+        while i < n:
+            ln = lines[i]
+            if ln.strip() and (len(ln) - len(ln.lstrip())) <= hdr_indent:
+                break
+            sec.append(ln)
+            i += 1
+        if section in ("args", "arguments", "parameters",
+                       "keyword args", "keyword arguments",
+                       "other parameters"):
+            params.update(_google_entries(sec))
+        elif section in ("returns", "return", "yields", "yield"):
+            text = clean_description("\n".join(sec).strip()) or None
+            if text and ":" in text:
+                head, _, rest = text.partition(":")
+                # `TYPE: description` — a one-word head is the type
+                # (docstring_parser google returns handling)
+                if head.strip() and " " not in head.strip():
+                    ret_type, ret_desc = head.strip(), rest.strip() or None
+                else:
+                    ret_desc = text
+            else:
+                ret_desc = text
+    return body_lines, params, ret_type, ret_desc
+
+
+def _google_entries(sec: list[str]) -> dict:
+    """``name (type): desc`` entries with deeper-indented continuations."""
+    out: dict[str, tuple[str | None, str | None]] = {}
+    entry_indent = None
+    name = typ = None
+    desc: list[str] = []
+
+    def flush():
+        if name is not None:
+            text = clean_description("\n".join(desc).strip()) or None
+            out[name] = (typ, text)
+
+    for ln in sec:
+        if not ln.strip():
+            desc.append("")
+            continue
+        ind = len(ln) - len(ln.lstrip())
+        if entry_indent is None:
+            entry_indent = ind
+        if ind <= entry_indent and ":" in ln:
+            flush()
+            head, _, rest = ln.strip().partition(":")
+            tm = re.match(r"^(\*{0,2}[\w.]+)\s*(?:\(([^)]*)\))?$", head.strip())
+            if tm:
+                name = tm.group(1).lstrip("*")
+                typ = (tm.group(2) or "").strip() or None
+                # `int, optional` -> `int` (docstring_parser drops the flag)
+                if typ and typ.endswith(", optional"):
+                    typ = typ[: -len(", optional")].strip() or None
+                desc = [rest.strip()] if rest.strip() else []
+            else:
+                name = typ = None
+                desc = []
+        elif name is not None:
+            desc.append(ln.strip())
+    flush()
+    return out
+
+
+def _parse_numpy(lines: list[str]):
+    """NumPy style: dash-underlined sections; ``name : type`` entries."""
+    body_lines: list[str] = []
+    params: dict[str, tuple[str | None, str | None]] = {}
+    ret_type = ret_desc = None
+    i, n = 0, len(lines)
+    while i < n:
+        if (i + 1 < n and re.match(r"^[ \t]*-{3,}[ \t]*$", lines[i + 1])
+                and lines[i].strip().lower() in _GOOGLE_SECTIONS):
+            section = lines[i].strip().lower()
+            hdr_indent = len(lines[i]) - len(lines[i].lstrip())
+            sec: list[str] = []
+            i += 2
+            while i < n:
+                ln = lines[i]
+                if (ln.strip() and (len(ln) - len(ln.lstrip())) <= hdr_indent
+                        and i + 1 < n
+                        and re.match(r"^[ \t]*-{3,}[ \t]*$", lines[i + 1])):
+                    break  # next section header
+                sec.append(ln)
+                i += 1
+            if section in ("parameters", "other parameters", "attributes"):
+                params.update(_numpy_entries(sec))
+            elif section in ("returns", "yields"):
+                entries = _numpy_entries(sec, returns=True)
+                if entries:
+                    (en, (et, ed)) = next(iter(entries.items()))
+                    ret_type = et if et is not None else (en or None)
+                    ret_desc = ed
+        else:
+            body_lines.append(lines[i])
+            i += 1
+    return body_lines, params, ret_type, ret_desc
+
+
+def _numpy_entries(sec: list[str], returns: bool = False) -> dict:
+    out: dict[str, tuple[str | None, str | None]] = {}
+    entry_indent = None
+    names: list[str] = []
+    typ = None
+    desc: list[str] = []
+
+    def flush():
+        text = clean_description("\n".join(desc).strip()) or None
+        for nm in names:
+            out[nm] = (typ, text)
+
+    for ln in sec:
+        if not ln.strip():
+            desc.append("")
+            continue
+        ind = len(ln) - len(ln.lstrip())
+        if entry_indent is None:
+            entry_indent = ind
+        if ind <= entry_indent:
+            flush()
+            head = ln.strip()
+            if ":" in head:
+                nm_part, _, ty_part = head.partition(":")
+                names = [s.strip().lstrip("*") for s in nm_part.split(",") if s.strip()]
+                typ = ty_part.strip() or None
+            elif returns:
+                # a bare line in a Returns section is the type itself
+                names, typ = [""], head
+            else:
+                names, typ = [head.lstrip("*")], None
+            desc = []
+        else:
+            desc.append(ln.strip())
+    flush()
+    if not returns:
+        out.pop("", None)
+    return out
+
+
+def _parse_epydoc(lines: list[str]):
+    """Epydoc style: ``@param name: desc`` / ``@type name: type`` fields —
+    same line grammar as Sphinx with ``@`` for ``:field:`` markers."""
+    converted = []
+    for ln in lines:
+        m = re.match(r"^(\s*)@(\w+)\s*([^:]*):\s*(.*)$", ln)
+        if m:
+            converted.append(f"{m.group(1)}:{m.group(2)} {m.group(3).strip()}:"
+                             f" {m.group(4)}")
+        else:
+            converted.append(ln)
+    return None, converted  # fall through to the Sphinx field loop
+
+
 def parse_docstring(doc: str | None):
     """-> (description, params: {name: (type, desc)}, return_type, return_desc).
 
+    Auto-detects Sphinx/Google/NumPy/Epydoc styles like the reference's
+    ``docstring_parser.parse`` (parser.py:169-232).
     Description = short + blank line + long (parser.py:184-193), cleaned.
     """
     if not doc:
         return None, {}, None, None
     lines = doc.expandtabs().splitlines()
-    body_lines: list[str] = []
+    style = _detect_style(doc.expandtabs())
+    if style == "google":
+        body_lines, params, ret_type, ret_desc = _parse_google(lines)
+        return _build_description(body_lines), params, ret_type, ret_desc
+    if style == "numpy":
+        body_lines, params, ret_type, ret_desc = _parse_numpy(lines)
+        return _build_description(body_lines), params, ret_type, ret_desc
+    if style == "epydoc":
+        _, lines = _parse_epydoc(lines)
+    body_lines = []
     params: dict[str, tuple[str | None, str | None]] = {}
     ret_type = ret_desc = None
     cur: tuple[str, str] | None = None  # (field_kind, name)
@@ -165,15 +381,19 @@ def parse_docstring(doc: str | None):
             body_lines.append(ln)
     flush()
 
+    return _build_description(body_lines), params, ret_type, ret_desc
+
+
+def _build_description(body_lines: list[str]) -> str | None:
+    """short + blank line + long, cleaned (parser.py:184-193)."""
     body = "\n".join(body_lines).strip("\n")
-    description = None
-    if body.strip():
-        paras = re.split(r"\n\s*\n", body, maxsplit=1)
-        short = paras[0].strip()
-        long = paras[1].strip() if len(paras) > 1 and paras[1].strip() else None
-        description = short + (f"\n\n{long}" if long else "")
-        description = clean_description(description)
-    return description, params, ret_type, ret_desc
+    if not body.strip():
+        return None
+    paras = re.split(r"\n\s*\n", body, maxsplit=1)
+    short = paras[0].strip()
+    long = paras[1].strip() if len(paras) > 1 and paras[1].strip() else None
+    description = short + (f"\n\n{long}" if long else "")
+    return clean_description(description)
 
 
 # --------------------------------------------------------------------------
@@ -504,8 +724,10 @@ class FileExtractor:
         # whole-module source, no line, no membership
         mblock = self.ent(self._eid("Block"), "BlockStatement")
         self.lit(mblock, "hasSourceCode", self._src(tree))
-        if getattr(tree, "end_lineno", None):
-            self.lit(mblock, "hasEndLine", tree.body[-1].end_lineno if tree.body else None)
+        # ast.Module has no end_lineno; the module block's end line is the
+        # last body statement's (guard on tree.body, not on the module attr)
+        if tree.body:
+            self.lit(mblock, "hasEndLine", tree.body[-1].end_lineno)
         self.t(pkg, "hasBody", mblock, False)
 
         self._scopes.append(_Scope("module", tree, pkg))
@@ -857,7 +1079,11 @@ class FileExtractor:
         in_class = bool(self._scopes and self._scopes[-1].kind == "class")
         decorators = {dotted_name(d) or self._src(d) for d in stmt.decorator_list}
         is_static = "staticmethod" in decorators
-        is_method = in_class and not is_static
+        # astroid's is_method() is true for ANY function whose frame is a
+        # ClassDef — including staticmethods (extractor.py:280-310 emits
+        # Method + access modifier + hasMethod for them); staticmethods only
+        # lose the self-reference typing (transformer/__init__.py:196-199)
+        is_method = in_class
         is_ctor = is_method and stmt.name == "__init__"
 
         kind = "Constructor" if is_ctor else ("Method" if is_method else "Function")
@@ -930,9 +1156,10 @@ class FileExtractor:
             self.lit(pid, "isKeywordOnly", ko)
             self.t(fn, "hasParameter", pid, False)
             # type: annotation > docstring > default-literal inference;
-            # first param of a method/ctor is the class itself
-            # (transformer self-reference typing)
-            if j == 0 and (is_method or is_ctor) and a.annotation is None:
+            # first param of a non-static method/ctor is the class itself,
+            # unconditionally — the reference's self-reference typing ignores
+            # any annotation on it (transformer/__init__.py:196-199, 213-216)
+            if j == 0 and is_method and not is_static:
                 self.t(pid, "hasType", cls["eid"], False)
             elif a.annotation is not None:
                 self.emit_type_mentions(pid, structure_annotation(a.annotation))
@@ -956,7 +1183,10 @@ class FileExtractor:
             except SyntaxError:
                 rt = None
             self.emit_type_mentions(fn, rt)
-        self.lit(fn, "hasDocumentation", dret_desc)
+        # return documentation carries a literal "Returns: " prefix
+        # (transformer/__init__.py:94-95, consumed extractor.py:342-343)
+        if dret_desc is not None:
+            self.lit(fn, "hasDocumentation", "Returns: " + dret_desc.strip())
 
         # cross-file override resolution happens in Stage 2; emit the method
         # row marker for the join (kind/name/class eid are on the entity row)

@@ -68,12 +68,29 @@ def start_incremental_extract(
 
 
 def compact(spark: SparkSession, workdir: str) -> DataFrame:
-    """Batch compaction: link + canonicalize everything extracted so far."""
+    """Batch compaction: link + canonicalize everything extracted so far.
+
+    Entity ids are ``repo|path|ordinal`` (no commit component), so when a
+    changed file is re-extracted under a new commit, the old and new versions
+    of the file would collide on the same subject ids and dedup would keep a
+    mixed-version graph. Supersede step: keep only the LATEST extraction per
+    (repo, path), where recency is the stream lineage's ``batch_id`` (arrival
+    order — commit hashes are not ordered), before splitting.
+    """
     from codeontologypython_spark.operators.canonicalize import canonicalize_stage
     from codeontologypython_spark.operators.extract import split_extraction
     from codeontologypython_spark.operators.linking import link_stage
 
     extracted = spark.read.parquet(os.path.join(workdir, "stream_extract"))
+    lineage = spark.read.parquet(os.path.join(workdir, "stream_lineage"))
+    latest = (lineage
+              .groupBy("repo", "path")
+              .agg(F.max(F.struct("batch_id", "commit")).alias("w"))
+              .select("repo", "path", F.col("w.commit").alias("commit")))
+    # broadcast semi-join: the (repo,path,commit) winner set is tiny relative
+    # to the extraction record stream, so no shuffle of the big side
+    extracted = extracted.join(F.broadcast(latest),
+                               ["repo", "path", "commit"], "left_semi")
     entities, triples, mentions, _ = split_extraction(extracted)
     resolved = link_stage(entities, triples, mentions)
     return canonicalize_stage(entities, triples.unionByName(resolved))

@@ -169,6 +169,8 @@ def access_modifier_for(name: str, in_class: bool) -> str | None:
         return None
     if name.startswith("__") and not name.endswith("__"):
         return "private"
-    if name.startswith("_"):
+    # dunder names (e.g. __init__) fall through to public, matching the
+    # reference (extractor.py:1136-1144) and pyfile._access_modifier
+    if name.startswith("_") and not name.startswith("__"):
         return "protected"
     return "public"

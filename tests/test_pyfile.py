@@ -77,6 +77,59 @@ def test_docstring_short_long_join():
     assert desc == "Short part. Long part over lines."
 
 
+def test_parse_docstring_google_style():
+    # auto style detection per docstring_parser (reference parser.py:180)
+    desc, params, rt, rdesc = parse_docstring(
+        "Compute a thing.\n\nLonger text.\n\n"
+        "Args:\n    x (int): the first value\n        wrapped line\n"
+        "    y: unannotated value\n"
+        "    rate (float, optional): learning rate\n\n"
+        "Returns:\n    bool: whether it worked\n")
+    assert desc == "Compute a thing. Longer text."
+    assert params["x"] == ("int", "the first value wrapped line.")
+    assert params["y"] == (None, "unannotated value.")
+    assert params["rate"][0] == "float"
+    assert rt == "bool"
+    assert rdesc == "whether it worked."
+
+
+def test_parse_docstring_numpy_style():
+    desc, params, rt, rdesc = parse_docstring(
+        "Summary line.\n\n"
+        "Parameters\n----------\n"
+        "x : int\n    The first value\n    wrapped.\n"
+        "y\n    Unannotated value.\n"
+        "a, b : float\n    Shared description.\n\n"
+        "Returns\n-------\nbool\n    Whether it worked.\n")
+    assert desc == "Summary line."
+    assert params["x"] == ("int", "The first value wrapped.")
+    assert params["y"] == (None, "Unannotated value.")
+    assert params["a"] == ("float", "Shared description.")
+    assert params["b"] == ("float", "Shared description.")
+    assert rt == "bool"
+    assert rdesc == "Whether it worked."
+
+
+def test_parse_docstring_epydoc_style():
+    desc, params, rt, rdesc = parse_docstring(
+        "Do things.\n\n@param x: the first value\n@type x: int\n"
+        "@return: whether it worked\n@rtype: bool\n")
+    assert desc == "Do things."
+    assert params["x"] == ("int", "the first value.")
+    assert rt == "bool"
+    assert rdesc == "whether it worked."
+
+
+def test_return_documentation_prefix():
+    # "Returns: " literal prefix (transformer/__init__.py:94-95)
+    src = 'def f():\n    """Do f.\n\n    :return: the result\n    """\n'
+    e, t, m = _run(src)
+    fn = _entity(e, "Function", "f")
+    docs = [o for s, p, o, _ in t
+            if s == fn["eid"] and p == WOC + "hasDocumentation"]
+    assert "Returns: the result." in docs
+
+
 # ---- annotation structuring (tracking.py:431-610) -------------------------
 
 def _ann(src):
@@ -149,8 +202,15 @@ def test_constructor_method_function_distinction():
     assert _entity(e, "Function", "top") is not None
     assert _entity(e, "Constructor", "__init__") is not None
     assert _entity(e, "Method", "meth") is not None
-    # staticmethod is not a method (transformer/utils.py:8-38)
-    assert _entity(e, "Function", "stat") is not None
+    # staticmethod IS a method: astroid is_method() is true for any function
+    # whose frame is a ClassDef (extractor.py:280-310 emits Method + modifier
+    # + hasMethod); it only loses self-reference typing
+    stat = _entity(e, "Method", "stat")
+    assert stat is not None
+    cls0 = _entity(e, "Class", "C")
+    assert (cls0["eid"], WOC + "hasMethod", stat["eid"], False) in t
+    # no self-typing for the (absent) first param of a staticmethod
+    assert not any(s == stat["eid"] and p == WOC + "hasType" for s, p, o, _ in t)
     # module-level function gets FQN + package; method gets hasName only
     fn = _entity(e, "Function", "top")
     fqns = {s: o for s, p, o, _ in _preds(t, "hasFullyQualifiedName")}

@@ -264,8 +264,10 @@ def _kg_triples(spark: SparkSession) -> DataFrame:
         src = source_files_df(spark)
         out = extract_stage(src).localCheckpoint()
         entities, triples, mentions, _ = split_extraction(out)
-        resolved = link_stage(entities, triples, mentions)
-        final = canonicalize_stage(entities, triples.unionByName(resolved))
+        resolved, extra_entities, triples = link_stage(entities, triples,
+                                                       mentions)
+        final = canonicalize_stage(entities.unionByName(extra_entities),
+                                   triples.unionByName(resolved))
         _KG_CACHE[key] = final.localCheckpoint()
     return _KG_CACHE[key]
 
@@ -302,6 +304,27 @@ def _kg_overrides(spark, sf_dir):
     t = _kg_triples(spark)
     return (t.filter(F.col("pred") == woc.PROP["overrides"])
             .select("subj", "obj"))
+
+
+def _kg_inherited_fields(spark, sf_dir):
+    """Inherited fields per class (reference track_fields reverse-MRO +
+    super().__init__ chain semantics, tracking.py:785-835): every class
+    carries hasField for ancestor-declared fields too — Dog(Animal) lists
+    kingdom/limbs/name/_age alongside its own a/b/breed."""
+    from codeontologypython_spark import woc
+    t = _kg_triples(spark)
+    has_field = (t.filter(F.col("pred") == woc.PROP["hasField"])
+                 .select(F.col("subj").alias("cls_iri"),
+                         F.col("obj").alias("field_iri")))
+    names = (t.filter(F.col("pred") == woc.DPROP["hasFullyQualifiedName"])
+             .select(F.col("subj").alias("cls_iri"),
+                     F.col("obj").alias("class_fqn")))
+    fnames = (t.filter(F.col("pred") == woc.DPROP["hasSimpleName"])
+              .select(F.col("subj").alias("field_iri"),
+                      F.col("obj").alias("field_name")))
+    return (has_field.join(names, "cls_iri").join(fnames, "field_iri")
+            .select("class_fqn", "field_name").distinct()
+            .orderBy("class_fqn", "field_name"))
 
 
 def _kg_sql_library_listing(spark, sf_dir):
@@ -346,6 +369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_class_star": _kg_class_star,
         "kg_triples_by_predicate": _kg_triples_by_predicate,
         "kg_overrides": _kg_overrides,
+        "kg_inherited_fields": _kg_inherited_fields,
     }
 
 

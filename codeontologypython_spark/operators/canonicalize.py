@@ -136,28 +136,49 @@ def materialize_inverses(triples: DataFrame) -> DataFrame:
 
 
 def prune_dangling_ptypes(entities: DataFrame, triples: DataFrame) -> DataFrame:
-    """Drop ParameterizedType entities whose hasGenericType never resolved,
-    plus their TypeArguments and every triple touching either."""
-    ptypes = entities.filter(F.col("kind") == "ParameterizedType").select("eid")
-    resolved_generic = (triples
-                        .filter(F.col("pred") == WOC + "hasGenericType")
-                        .select(F.col("subj").alias("eid")).distinct())
-    dangling = ptypes.join(resolved_generic, "eid", "left_anti")
-    targs = (triples.filter(F.col("pred") == WOC + "hasActualTypeArgument")
-             .join(dangling.withColumnRenamed("eid", "subj"), "subj")
-             .select(F.col("obj").alias("eid")))
-    # the drop set is tiny (a subset of the type-annotation entities):
-    # broadcast it so the two anti-joins are map-side and the full triple
-    # stream is never shuffled
-    drop = dangling.unionByName(targs).distinct().localCheckpoint()
-    if drop.isEmpty():
+    """Drop ParameterizedType entities that (a) never resolved a generic
+    (reference generic-individual-None rule, extractor.py:952-961) or
+    (b) have no inbound hasType/hasArgumentType reference left — e.g. the
+    annotation subtree of a LOSING field fact after the Stage-2 fold — plus
+    their TypeArgument subtrees. Bounded loop: dropping a parent generic
+    orphans its nested generics, so iterate to the (shallow) nesting depth.
+    """
+    ptypes = (entities.filter(F.col("kind") == "ParameterizedType")
+              .select("eid").localCheckpoint())
+    if ptypes.isEmpty():
         return triples
-    out = (triples
-           .join(F.broadcast(drop.withColumnRenamed("eid", "subj")),
-                 "subj", "left_anti")
-           .join(F.broadcast(drop.withColumnRenamed("eid", "obj")),
-                 "obj", "left_anti"))
-    return out
+    # all the per-round probes filter on 3 type-predicates — restrict once
+    # per round so the full triple stream is only anti-joined, never grouped
+    for _ in range(6):
+        resolved_generic = (triples
+                            .filter(F.col("pred") == WOC + "hasGenericType")
+                            .select(F.col("subj").alias("eid")).distinct())
+        inbound = (triples
+                   .filter(F.col("pred").isin(WOC + "hasType",
+                                              WOC + "hasArgumentType")
+                           & ~F.col("obj_is_literal"))
+                   .select(F.col("obj").alias("eid")).distinct())
+        bad = (ptypes.join(resolved_generic, "eid", "left_anti")
+               .unionByName(ptypes.join(inbound, "eid", "left_anti"))
+               .distinct().localCheckpoint())
+        if bad.isEmpty():
+            return triples
+        targs = (triples.filter(F.col("pred") == WOC + "hasActualTypeArgument")
+                 .join(F.broadcast(bad.withColumnRenamed("eid", "subj")), "subj")
+                 .select(F.col("obj").alias("eid")))
+        # the drop set is tiny (a subset of the type-annotation entities):
+        # broadcast it so the two anti-joins are map-side and the full triple
+        # stream is never shuffled
+        drop = bad.unionByName(targs).distinct().localCheckpoint()
+        triples = (triples
+                   .join(F.broadcast(drop.withColumnRenamed("eid", "subj")),
+                         "subj", "left_anti")
+                   .join(F.broadcast(drop.withColumnRenamed("eid", "obj")),
+                         "obj", "left_anti")).localCheckpoint()
+        ptypes = ptypes.join(drop, "eid", "left_anti").localCheckpoint()
+        if ptypes.isEmpty():
+            return triples
+    return triples
 
 
 def audit_iri_uniqueness(iri_map: DataFrame) -> DataFrame:

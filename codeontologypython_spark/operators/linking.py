@@ -26,7 +26,6 @@ from pyspark.sql import functions as F
 from codeontologypython_spark.operators.relational import (
     salted_join,
     top1_per_group,
-    transitive_closure,
 )
 
 WOC = "http://rdf.webofcode.org/woc/"
@@ -118,11 +117,14 @@ def resolve_mentions(mentions: DataFrame, symbol_table: DataFrame,
             .agg(F.min(F.struct(
                 F.col("priority"), _kind_rank_col().alias("kr"),
                 F.col("eid"), F.col("repo"), F.col("commit"),
-                F.col("subj"), F.col("pred"))).alias("best")))
+                F.col("subj"), F.col("pred"), F.col("raw"))).alias("best")))
+    # `raw` is carried so extends edges keep their base position
+    # ("<pos>:<name>", pyfile.py extends mentions) for exact MRO ordering
     return best.select(
         F.col("best.repo").alias("repo"), F.col("best.commit").alias("commit"),
         F.col("best.subj").alias("subj"), F.col("best.pred").alias("pred"),
-        F.col("best.eid").alias("obj"), F.lit(False).alias("obj_is_literal"))
+        F.col("best.eid").alias("obj"), F.lit(False).alias("obj_is_literal"),
+        F.col("best.raw").alias("raw"))
 
 
 def expand_wildcards(mentions: DataFrame, entities: DataFrame,
@@ -183,21 +185,23 @@ def expand_wildcards(mentions: DataFrame, entities: DataFrame,
                     F.lit(False).alias("obj_is_literal")))
 
 
-def extends_closure(resolved_triples: DataFrame) -> DataFrame:
-    """L4: (sub_eid, anc_eid, depth, base_pos) from resolved extends edges.
-    base_pos (the position of the base in the class statement) is carried so
-    override resolution can prefer earlier bases, approximating MRO order."""
-    extends = (resolved_triples
-               .filter(F.col("pred") == WOC + "extends")
-               .select(F.col("subj").alias("src"), F.col("obj").alias("dst")))
-    return transitive_closure(extends, max_iterations=10)
+def extends_edges(resolved_triples: DataFrame) -> DataFrame:
+    """L4 input: (src, dst, pos) direct extends edges; pos is the base's
+    position in the class statement (carried through resolve_mentions in
+    ``raw`` as ``"<pos>:<name>"``), the exact C3 base order."""
+    return (resolved_triples
+            .filter(F.col("pred") == WOC + "extends")
+            .select(F.col("subj").alias("src"), F.col("obj").alias("dst"),
+                    F.split(F.col("raw"), ":", 2).getItem(0)
+                    .cast("int").alias("pos")))
 
 
 def resolve_overrides(entities: DataFrame, triples: DataFrame,
-                      closure: DataFrame) -> DataFrame:
+                      mro: DataFrame) -> DataFrame:
     """P4 cross-file: method overrides via joins. A method m of class C
-    overrides the nearest (min ancestor depth) method of the same name in C's
-    extends closure (transformer/__init__.py:54-84 first-match-in-MRO)."""
+    overrides the FIRST same-name method along C's exact C3 MRO
+    (transformer/__init__.py:54-84 first-match-in-MRO), realized as a
+    min-MRO-rank pick over the (root, anc, rank) MRO table."""
     has_method = (triples.filter(F.col("pred") == WOC + "hasMethod")
                   .select(F.col("subj").alias("class_eid"),
                           F.col("obj").alias("method_eid")))
@@ -211,13 +215,15 @@ def resolve_overrides(entities: DataFrame, triples: DataFrame,
                            F.col("method_eid").alias("anc_method"),
                            F.col("mname").alias("anc_mname")))
     cand = (methods
-            .join(closure.withColumnRenamed("src", "class_eid"), "class_eid")
+            .join(mro.select(F.col("root").alias("class_eid"),
+                             F.col("cls").alias("mro_anc"),
+                             F.col("rank")), "class_eid")
             .join(anc_methods,
-                  (F.col("dst") == F.col("anc_class"))
+                  (F.col("mro_anc") == F.col("anc_class"))
                   & (F.col("mname") == F.col("anc_mname")))
-            .select("repo", "commit", "method_eid", "anc_method", "depth"))
+            .select("repo", "commit", "method_eid", "anc_method", "rank"))
     best = top1_per_group(cand, ["method_eid"],
-                          [F.col("depth"), F.col("anc_method")])
+                          [F.col("rank"), F.col("anc_method")])
     return best.select(
         "repo", "commit", F.col("method_eid").alias("subj"),
         F.lit(WOC + "overrides").alias("pred"),
@@ -225,18 +231,48 @@ def resolve_overrides(entities: DataFrame, triples: DataFrame,
 
 
 def link_stage(entities: DataFrame, triples: DataFrame, mentions: DataFrame,
-               broadcast_symtab: bool = True, salt: int = 0) -> DataFrame:
-    """Full Stage 2: returns the resolved-triples DataFrame (to union with the
-    Stage-1 triples)."""
+               broadcast_symtab: bool = True, salt: int = 0):
+    """Full Stage 2.
+
+    Returns ``(resolved, extra_entities, base_triples)``:
+    - ``resolved``: mention-resolution + override + wildcard + Field triples
+      (to union with ``base_triples``),
+    - ``extra_entities``: Stage-2-materialized individuals (Field,
+      FieldDeclarationStatement) to union with the Stage-1 entities,
+    - ``base_triples``: the input triples minus internal field-fact rows
+      (subjects containing the ``\\x02`` fact marker), whose winners were
+      re-subjected onto Field individuals.
+    """
+    from codeontologypython_spark.operators.fields import (
+        materialize_fields,
+        mro_and_contributions,
+    )
+
     symtab = build_symbol_table(entities)
     symtab = chase_aliases(symtab, mentions)
-    # resolved feeds three consumers (closure, overrides, output union):
+    # resolved feeds several consumers (edges, overrides, fields, output):
     # materialize once so the candidate-join isn't re-executed per consumer
     resolved = resolve_mentions(mentions, symtab,
                                 broadcast_symtab=broadcast_symtab,
                                 salt=salt).localCheckpoint()
     wild = expand_wildcards(mentions, entities)
-    closure = extends_closure(resolved)
-    overrides = resolve_overrides(entities, triples.unionByName(resolved),
-                                  closure)
-    return resolved.unionByName(wild).unionByName(overrides)
+
+    classes = entities.filter(F.col("kind") == "Class")
+    contrib = mro_and_contributions(
+        classes, extends_edges(resolved),
+        mentions.filter(F.col("kind") == "ctorinfo")).localCheckpoint()
+    mro = contrib.filter(F.col("out") == "mro")
+    overrides = resolve_overrides(entities, triples, mro)
+
+    is_fact = F.col("subj").contains("\x02")
+    ffid_types = (resolved.filter(is_fact).drop("raw")
+                  .unionByName(triples.filter(is_fact)))
+    f_entities, f_triples = materialize_fields(
+        classes, mentions.filter(F.col("kind") == "fieldfact"),
+        contrib, ffid_types)
+
+    out = (resolved.filter(~is_fact).drop("raw")
+           .unionByName(wild)
+           .unionByName(overrides)
+           .unionByName(f_triples))
+    return out, f_entities, triples.filter(~is_fact)

@@ -486,6 +486,21 @@ def literal_type_name(node) -> str | None:
     return None
 
 
+def value_type_name(node) -> str | None:
+    """L7 value inference (reference ``resolve_value``, tracking.py:383-428):
+    astroid ``infer()`` resolves literals to builtin classes and constructor
+    calls ``Foo()`` to the class ``Foo``. The join analog: literals yield the
+    builtin type name, a Call of a plain (dotted) name yields that name as a
+    type mention candidate; everything else degrades to None, matching the
+    reference's give-up-on-failure (tracking.py:395, :422)."""
+    lit = literal_type_name(node)
+    if lit is not None:
+        return lit
+    if isinstance(node, ast.Call):
+        return dotted_name(node.func)
+    return None
+
+
 # --------------------------------------------------------------------------
 # The extractor
 # --------------------------------------------------------------------------
@@ -1001,71 +1016,153 @@ class FileExtractor:
         self._scopes.append(scope)
         self._class_stack.append({"eid": cls, "node": stmt, "fqn": fqn})
         self._collect_bindings(stmt.body, scope)
-        self._emit_fields(stmt, cls, fqn)
+        # field facts use the CLASS docstring's :param fields for annotation
+        # fallback + description (tracking.py get_param_info(…, cls_node))
+        _, self._class_doc_params, _, _ = parse_docstring(
+            ast.get_docstring(stmt, clean=False))
+        self._emit_field_facts(stmt, cls, fqn)
         self._emit_block_members(_body_sans_docstring(stmt), cblock, chain=True)
         self._class_stack.pop()
         self._scopes.pop()
         return [decl]
 
     # -- fields (tracking.py:613-835 consumed at transformer/:109-161) --
+    #
+    # Stage 1 emits per-class FIELD FACTS (ordered assignment observations),
+    # not Field individuals: the reference's track_fields walks reverse-MRO
+    # ancestor class bodies and super().__init__ constructor chains, so the
+    # fields of a class depend on classes in OTHER files. Facts + ctor-info
+    # mentions feed the Stage-2 MRO/contribution join (operators/fields.py),
+    # which applies the newest-annotation/oldest-node fold
+    # (transformer/__init__.py:133-157) and materializes Field individuals on
+    # EVERY class (deterministic; the reference's node-level init guard makes
+    # attachment extraction-order-dependent — first extractor wins —
+    # individuals.py:636-653; we document this as a deterministic superset).
 
-    def _emit_fields(self, cls_node: ast.ClassDef, cls_eid: str, cls_fqn):
-        """Field discovery: class-body assigns (skipping names declared
-        global), then __init__ self-assignments. Newest annotation wins,
-        oldest declaration node wins (transformer/__init__.py:133-157).
-        Cross-file ancestor fields attach to their defining class (C1
-        first-extraction-wins makes that the reference steady state)."""
-        fields: dict[str, dict] = {}
+    def _field_fact(self, cls_eid: str, order: int, seg: str, name: str,
+                    ann_struct, value_node, desc: str | None, node):
+        """One (target, description, annotation, value, node) observation
+        (tracking.py:613-620 tavn tuple) as a mention row + type mentions."""
+        has_ann = ann_struct is not None
+        vt = value_type_name(value_node) if value_node is not None else None
+        has_value = value_node is not None
+        line = getattr(node, "lineno", None)
+        self.mentions.append({
+            "subj": cls_eid, "pred": "", "kind": "fieldfact",
+            "candidates": [name],
+            "raw": "\x1f".join([
+                str(order), seg, "1" if has_ann else "0",
+                "1" if has_value else "0",
+                "" if line is None else str(line),
+                desc or "", self._src(node)]),
+        })
+        if has_ann:
+            self.emit_type_mentions(f"{cls_eid}\x02{order}a", ann_struct)
+        if vt is not None:
+            self.mention(f"{cls_eid}\x02{order}v", "hasType", "type",
+                         self.candidates_for(vt), vt)
 
-        def note(name, ann, node, desc=None):
-            f = fields.setdefault(name, {"ann": None, "node": node, "desc": desc})
-            if ann is not None:
-                f["ann"] = ann  # newest annotation wins
+    def _emit_field_facts(self, cls_node: ast.ClassDef, cls_eid: str, cls_fqn):
+        """Per-class half of track_fields (tracking.py:613-835): own
+        class-body assigns (skipping ``global`` names) and own ``__init__``
+        top-level self-assignments, in execution order, plus constructor
+        delegation info (super().__init__ / Ancestor.__init__ calls).
+        Ancestor contributions are joined in Stage 2."""
+        dparams = self._class_doc_params
+        order = 0
 
+        global_names = set()
+        for stmt in cls_node.body:
+            if isinstance(stmt, ast.Global):
+                global_names.update(stmt.names)
+
+        # 1) class body (get_tavn_list_class, tracking.py:632-699)
         for stmt in cls_node.body:
             if isinstance(stmt, ast.Assign):
                 for tgt in stmt.targets:
-                    for nm in self._target_names(tgt):
-                        note(nm, None, stmt)
+                    if isinstance(tgt, (ast.Tuple, ast.List)):
+                        for el in tgt.elts:
+                            if isinstance(el, ast.Name) and el.id not in global_names:
+                                d_ann, d_desc = dparams.get(el.id, (None, None))
+                                self._field_fact(cls_eid, order, "b", el.id,
+                                                 _struct_of_str(d_ann), None,
+                                                 d_desc, stmt)
+                                order += 1
+                    elif isinstance(tgt, ast.Name) and tgt.id not in global_names:
+                        d_ann, d_desc = dparams.get(tgt.id, (None, None))
+                        self._field_fact(cls_eid, order, "b", tgt.id,
+                                         _struct_of_str(d_ann), stmt.value,
+                                         d_desc, stmt)
+                        order += 1
             elif isinstance(stmt, ast.AnnAssign) and isinstance(stmt.target, ast.Name):
-                note(stmt.target.id, structure_annotation(stmt.annotation), stmt)
+                if stmt.target.id not in global_names:
+                    _, d_desc = dparams.get(stmt.target.id, (None, None))
+                    self._field_fact(cls_eid, order, "b", stmt.target.id,
+                                     structure_annotation(stmt.annotation),
+                                     stmt.value, d_desc, stmt)
+                    order += 1
 
+        # 2) own constructor (get_tavn_list_constructor, tracking.py:702-820):
+        # TOP-LEVEL body statements only, via the actual self-reference name
         init = next((s for s in cls_node.body
                      if isinstance(s, (ast.FunctionDef, ast.AsyncFunctionDef))
                      and s.name == "__init__"), None)
-        if init is not None:
-            for sub in ast.walk(init):
-                if isinstance(sub, ast.Assign):
-                    for tgt in sub.targets:
-                        if (isinstance(tgt, ast.Attribute)
-                                and isinstance(tgt.value, ast.Name)
-                                and tgt.value.id == "self"):
-                            note(tgt.attr, None, sub)
-                elif (isinstance(sub, ast.AnnAssign)
-                        and isinstance(sub.target, ast.Attribute)
-                        and isinstance(sub.target.value, ast.Name)
-                        and sub.target.value.id == "self"):
-                    note(sub.target.attr, structure_annotation(sub.annotation), sub)
-
-        for name, f in fields.items():
-            node = f["node"]
-            fid = self.ent(self._eid(f"Field:{name}"), "Field", name=name,
-                           fqn=f"{cls_fqn}.{name}" if cls_fqn else None,
-                           line=getattr(node, "lineno", None))
-            decl = self.ent(self._eid(f"FieldDecl:{name}"),
-                            "FieldDeclarationStatement",
-                            line=getattr(node, "lineno", None))
-            self.lit(decl, "hasSourceCode", self._src(node))
-            self.lit(decl, "hasLine", getattr(node, "lineno", None))
-            self.t(fid, "hasVariableDeclaration", decl, False)
-            self.lit(fid, "hasSimpleName", name)
-            if cls_fqn:
-                self.lit(fid, "hasFullyQualifiedName", f"{cls_fqn}.{name}")
-            self.t(cls_eid, "declares", fid, False)
-            self.t(cls_eid, "hasField", fid, False)
-            self.lit(fid, "hasDocumentation", f.get("desc"))
-            self.emit_type_mentions(fid, f.get("ann"))
-            self.t(fid, "hasModifier", _access_modifier(name, True), False)
+        if init is None:
+            return
+        decorators = {dotted_name(d) or "" for d in init.decorator_list}
+        if "staticmethod" in decorators:
+            return  # static __init__: no self-reference (tracking.py:706-710)
+        pos_args = list(init.args.posonlyargs) + list(init.args.args)
+        if not pos_args:
+            self.mentions.append({
+                "subj": cls_eid, "pred": "", "kind": "ctorinfo",
+                "candidates": [cls_eid], "raw": "1\x1f"})
+            return
+        self_ref = pos_args[0].arg
+        delegations: list[str] = []
+        for idx, stmt in enumerate(init.body):
+            if isinstance(stmt, ast.Assign):
+                for tgt in stmt.targets:
+                    if isinstance(tgt, (ast.Tuple, ast.List)):
+                        for el in tgt.elts:
+                            if (isinstance(el, ast.Attribute)
+                                    and isinstance(el.value, ast.Name)
+                                    and el.value.id == self_ref):
+                                d_ann, d_desc = dparams.get(el.attr, (None, None))
+                                self._field_fact(cls_eid, order, "c", el.attr,
+                                                 _struct_of_str(d_ann), None,
+                                                 d_desc, stmt)
+                                order += 1
+                    elif (isinstance(tgt, ast.Attribute)
+                          and isinstance(tgt.value, ast.Name)
+                          and tgt.value.id == self_ref):
+                        d_ann, d_desc = dparams.get(tgt.attr, (None, None))
+                        self._field_fact(cls_eid, order, "c", tgt.attr,
+                                         _struct_of_str(d_ann), stmt.value,
+                                         d_desc, stmt)
+                        order += 1
+            elif (isinstance(stmt, ast.AnnAssign)
+                  and isinstance(stmt.target, ast.Attribute)
+                  and isinstance(stmt.target.value, ast.Name)
+                  and stmt.target.value.id == self_ref):
+                _, d_desc = dparams.get(stmt.target.attr, (None, None))
+                self._field_fact(cls_eid, order, "c", stmt.target.attr,
+                                 structure_annotation(stmt.annotation),
+                                 stmt.value, d_desc, stmt)
+                order += 1
+            elif (isinstance(stmt, ast.Expr) and isinstance(stmt.value, ast.Call)
+                  and isinstance(stmt.value.func, ast.Attribute)
+                  and stmt.value.func.attr == "__init__"):
+                fexpr = stmt.value.func.value
+                if (isinstance(fexpr, ast.Call) and isinstance(fexpr.func, ast.Name)
+                        and fexpr.func.id == "super"):
+                    delegations.append(f"{idx}:super")
+                elif isinstance(fexpr, ast.Name):
+                    delegations.append(f"{idx}:named:{fexpr.id}")
+        self.mentions.append({
+            "subj": cls_eid, "pred": "", "kind": "ctorinfo",
+            "candidates": [cls_eid],
+            "raw": "1\x1f" + ";".join(delegations)})
 
     # -- functions / methods / constructors (extractor.py:280-343) --
 
@@ -1164,13 +1261,11 @@ class FileExtractor:
             elif a.annotation is not None:
                 self.emit_type_mentions(pid, structure_annotation(a.annotation))
             elif dt:
-                try:
-                    dt_struct = structure_annotation(ast.parse(dt, mode="eval").body)
-                except SyntaxError:
-                    dt_struct = None
-                self.emit_type_mentions(pid, dt_struct)
+                self.emit_type_mentions(pid, _struct_of_str(dt))
             elif default is not None:
-                self.emit_type_mentions(pid, literal_type_name(default))
+                # L7 value inference on the default: literals AND constructor
+                # calls (reference resolve_value, tracking.py:383-428)
+                self.emit_type_mentions(pid, value_type_name(default))
             scope.bindings[a.arg] = {"kind": "param", "node": a, "eid": pid,
                                      "binder_stmt": None}
 
@@ -1178,11 +1273,7 @@ class FileExtractor:
         if stmt.returns is not None:
             self.emit_type_mentions(fn, structure_annotation(stmt.returns))
         elif dret_t:
-            try:
-                rt = structure_annotation(ast.parse(dret_t, mode="eval").body)
-            except SyntaxError:
-                rt = None
-            self.emit_type_mentions(fn, rt)
+            self.emit_type_mentions(fn, _struct_of_str(dret_t))
         # return documentation carries a literal "Returns: " prefix
         # (transformer/__init__.py:94-95, consumed extractor.py:342-343)
         if dret_desc is not None:
@@ -1570,6 +1661,18 @@ class FileExtractor:
         if stmt.orelse:
             self._emit_block_members(stmt.orelse, tblock, chain=True)
         return elems
+
+
+def _struct_of_str(type_str: str | None):
+    """Structure a docstring type string by parsing it as an annotation
+    expression (the reference feeds docstring types through
+    ``astroid.extract_node`` into the same resolver, tracking.py:514-519)."""
+    if not type_str:
+        return None
+    try:
+        return structure_annotation(ast.parse(type_str, mode="eval").body)
+    except SyntaxError:
+        return None
 
 
 def _body_sans_docstring(node):

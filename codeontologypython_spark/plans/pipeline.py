@@ -118,10 +118,14 @@ def run_pipeline(
 
     # ---- Stage 2: link (parquet checkpoint for resume + plan isolation) ---
     s2_path = os.path.join(workdir, "stage2_resolved")
-    resolved = link_stage(entities, triples, mentions,
-                          broadcast_symtab=broadcast_symtab, salt=salt)
+    s2_ents_path = os.path.join(workdir, "stage2_entities")
+    resolved, extra_entities, triples = link_stage(
+        entities, triples, mentions,
+        broadcast_symtab=broadcast_symtab, salt=salt)
     resolved.write.mode("overwrite").parquet(s2_path)
     resolved = spark.read.parquet(s2_path)
+    extra_entities.write.mode("overwrite").parquet(s2_ents_path)
+    extra_entities = spark.read.parquet(s2_ents_path)
     _append_lineage(
         spark, lineage_path, "link",
         resolved.groupBy("repo").agg(F.count("*").alias("rows_out"))
@@ -129,7 +133,8 @@ def run_pipeline(
     all_triples = triples.unionByName(resolved)
 
     # ---- Stage 3: canonicalize -------------------------------------------
-    final = canonicalize_stage(entities, all_triples)
+    final = canonicalize_stage(entities.unionByName(extra_entities),
+                               all_triples)
     final.write.mode("overwrite").parquet(s3_path)
     final = spark.read.parquet(s3_path)
     _append_lineage(

@@ -92,5 +92,6 @@ def compact(spark: SparkSession, workdir: str) -> DataFrame:
     extracted = extracted.join(F.broadcast(latest),
                                ["repo", "path", "commit"], "left_semi")
     entities, triples, mentions, _ = split_extraction(extracted)
-    resolved = link_stage(entities, triples, mentions)
-    return canonicalize_stage(entities, triples.unionByName(resolved))
+    resolved, extra_entities, triples = link_stage(entities, triples, mentions)
+    return canonicalize_stage(entities.unionByName(extra_entities),
+                              triples.unionByName(resolved))

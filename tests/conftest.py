@@ -41,6 +41,8 @@ def final_triples(spark, extracted):
     from codeontologypython_spark.operators.linking import link_stage
 
     e = extracted
-    resolved = link_stage(e["entities"], e["triples"], e["mentions"])
-    allt = e["triples"].unionByName(resolved)
-    return canonicalize_stage(e["entities"], allt).cache()
+    resolved, extra_entities, base_triples = link_stage(
+        e["entities"], e["triples"], e["mentions"])
+    allt = base_triples.unionByName(resolved)
+    return canonicalize_stage(e["entities"].unionByName(extra_entities),
+                              allt).cache()

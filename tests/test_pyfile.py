@@ -354,21 +354,54 @@ def test_relative_import_resolution():
     assert "pkg_a.mod2.helper" in cands
 
 
-def test_fields_discovery_and_fqn():
+def test_field_facts_discovery():
+    """Stage-1 half of track_fields (tracking.py:613-835): ordered per-class
+    facts; Field individuals are materialized in Stage 2 (operators/fields)."""
     src = ("class C:\n"
+           '    """Doc.\n\n    :param int x: the x\n    """\n'
            "    x = 1\n"
            "    y: int = 2\n"
            "    a, b = 1, 2\n"
-           "    def __init__(self):\n"
-           "        self.z = 0\n")
+           "    glob = 3\n"
+           "    def __init__(me):\n"
+           "        me.z = Thing()\n"
+           "        other.w = 9\n")
+    # note: `glob` IS a field here (no global decl); self-ref name is `me`
     e, t, m = _run(src)
-    fields = sorted(x["name"] for x in e if x["kind"] == "Field")
-    assert fields == ["a", "b", "x", "y", "z"]
-    f = _entity(e, "Field", "z")
-    assert f["fqn"] == "m.C.z"
-    cls = _entity(e, "Class", "C")
-    assert (cls["eid"], WOC + "hasField", f["eid"], False) in t
-    assert (cls["eid"], WOC + "declares", f["eid"], False) in t
+    facts = [x for x in m if x["kind"] == "fieldfact"]
+    parsed = {}
+    for f in facts:
+        name = f["candidates"][0]
+        order, seg, has_ann, has_value, line, desc, fsrc = f["raw"].split(
+            "\x1f", 6)
+        parsed[name] = (seg, has_ann == "1", has_value == "1")
+    assert set(parsed) == {"x", "y", "a", "b", "glob", "z"}
+    assert parsed["x"] == ("b", True, True)    # ann from class docstring
+    assert parsed["y"] == ("b", True, True)
+    assert parsed["a"] == ("b", False, False)  # tuple assign: no value
+    assert parsed["z"] == ("c", False, True)   # ctor self-assign via `me`
+    # constructor value inference: z = Thing() emits a type mention on the
+    # value fact id (L7 resolve_value, tracking.py:383-428)
+    zfact = next(f for f in facts if f["candidates"][0] == "z")
+    vms = [x for x in m if x["kind"] == "type" and "\x02" in x["subj"]
+           and x["subj"].endswith("v")]
+    assert any("Thing" in (x["raw"] or "") for x in vms)
+    # ctorinfo emitted with no delegations
+    ci = [x for x in m if x["kind"] == "ctorinfo"]
+    assert len(ci) == 1 and ci[0]["raw"] == "1\x1f"
+
+
+def test_field_facts_ctor_delegations():
+    src = ("class D(B, C):\n"
+           "    def __init__(self):\n"
+           "        super().__init__()\n"
+           "        self.x = 1\n"
+           "        C.__init__(self)\n")
+    e, t, m = _run(src)
+    ci = next(x for x in m if x["kind"] == "ctorinfo")
+    has_init, delegs = ci["raw"].split("\x1f")
+    assert has_init == "1"
+    assert delegs == "0:super;2:named:C"
 
 
 def test_nested_class_fqn_pure_chain_only():

@@ -244,6 +244,26 @@ _PROJ_HUB["hub/core.py"] = (
     "\n\n"
     "def hub_fn(v):\n"
     "    return v * HUB_CONST\n"
+    "\n\n"
+    "class HubThing:\n"
+    '    """A thing reachable through attribute chains."""\n'
+    "\n"
+    "    pass\n"
+)
+_PROJ_HUB["hub/facade.py"] = (
+    '"""Facade module: re-exports hub_fn by name (binding row fixture)."""\n'
+    "from hub.core import hub_fn\n"
+)
+_PROJ_HUB["hub/chains.py"] = (
+    '"""Attribute chains through bound modules (tracking.py:297-327\n'
+    'suffix-shrinking lookups)."""\n'
+    "import hub.core\n"
+    "from hub import facade\n"
+    "\n"
+    "HC = hub.core\n"
+    "\n\n"
+    "def use(x: HC.HubThing, f: facade.hub_fn):\n"
+    "    return f(x)\n"
 )
 _PROJ_HUB["hub/base_exports.py"] = '"""Re-export base."""\nBASE_NAME = "base"\n'
 _PROJ_HUB["hub/re_exports.py"] = (

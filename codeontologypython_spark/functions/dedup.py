@@ -44,11 +44,24 @@ def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_shingle_df: int | None = 500) -> DataFrame:
     """Candidate pairs via the shingle inverted index (docs sharing >=1
-    shingle), exact Jaccard = |∩| / (|A|+|B|-|∩|). Returns
-    (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    shingle), exact Jaccard = |∩| / (|A|+|B|-|∩|) over the capped shingle
+    universe. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    ``max_shingle_df`` drops stop-shingles ("in the", "of the") whose
+    document frequency exceeds the cap BEFORE the pair join — without it one
+    hot shingle's bucket grows quadratically in its document frequency
+    (df=10^6 -> 10^12 pairs from a single shuffle group at corpus scale).
+    Sizes and intersections both use the capped universe, so the Jaccard
+    stays an exact set similarity (of the informative-shingle sets) and the
+    SQL oracle mirrors it bit-for-bit."""
     sh = _shingle_table(df, text_col, id_col, n)
+    if max_shingle_df is not None:
+        keep = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= max_shingle_df).select("shingle"))
+        sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
     a = sh.withColumnRenamed("doc", "doc_a")
     b = sh.withColumnRenamed("doc", "doc_b")

@@ -54,18 +54,25 @@ def module_fqn_col(path):
 
 
 def build_symbol_table(entities: DataFrame) -> DataFrame:
-    """(fqn, eid, kind, repo) for every FQN-addressable entity — the
-    project-level symbol table the north_star broadcasts."""
+    """(fqn, eid, kind, repo, via_alias=false) for every FQN-addressable
+    entity — the project-level symbol table the north_star broadcasts."""
     return (entities
             .filter(F.col("fqn").isNotNull() & (F.col("fqn") != ""))
-            .select("fqn", "eid", "kind", "repo"))
+            .select("fqn", "eid", "kind", "repo",
+                    F.lit(False).alias("via_alias")))
 
 
 def chase_aliases(symbol_table: DataFrame, mentions: DataFrame,
                   max_iterations: int = 10) -> DataFrame:
-    """L5: module-level ``Alias = Target`` assignments add symbol-table rows
-    mapping the alias FQN to the target's entity. Alias-of-alias chains are
-    flattened by a bounded loop (max_iterations matches tracking.py:343)."""
+    """L5: module-level ``Alias = Target`` assignments and import BINDINGS
+    (``from X import y``, ``import x.y as z``) add symbol-table rows mapping
+    the bound FQN to the target's entity, flagged ``via_alias``. A module-
+    level alias assignment also creates a GlobalVariable entity under the
+    SAME fqn — both rows are kept: imports prefer the variable (the reference
+    references the AssignName node, transformer/__init__.py:288-343), type
+    mentions chase through to the target (track_type_name_from_scope,
+    tracking.py:330-380). Alias-of-alias chains are flattened by a bounded
+    loop (max_iterations matches tracking.py:343)."""
     alias_m = mentions.filter(F.col("kind") == "alias")
     if alias_m.isEmpty():
         return symbol_table
@@ -75,12 +82,19 @@ def chase_aliases(symbol_table: DataFrame, mentions: DataFrame,
     cands = cands.localCheckpoint()
     symtab = symbol_table
     for _ in range(max_iterations):
-        hit = (cands.join(symtab.withColumnRenamed("fqn", "cand_fqn"), "cand_fqn")
+        hit = (cands.join(symtab.withColumnRenamed("fqn", "cand_fqn"),
+                          "cand_fqn")
                .transform(lambda d: top1_per_group(
                    d, ["alias_fqn"],
-                   [F.col("priority"), _kind_rank_col(), F.col("eid")]))
-               .select(F.col("alias_fqn").alias("fqn"), "eid", "kind", "repo"))
-        new = hit.join(symtab.select("fqn"), "fqn", "left_anti").localCheckpoint()
+                   [F.col("priority"), _kind_rank_col(), F.col("via_alias"),
+                    F.col("eid")]))
+               .select(F.col("alias_fqn").alias("fqn"), "eid", "kind", "repo",
+                       F.lit(True).alias("via_alias")))
+        # new = aliases not yet present AS ALIAS ROWS (an entity row under
+        # the same fqn does not satisfy the alias — the chased target must
+        # land too, or chains through shadowing variables dead-end)
+        new = (hit.join(symtab.filter(F.col("via_alias")).select("fqn"),
+                        "fqn", "left_anti").localCheckpoint())
         if new.isEmpty():
             break
         symtab = symtab.unionByName(new)
@@ -89,33 +103,86 @@ def chase_aliases(symbol_table: DataFrame, mentions: DataFrame,
 
 def resolve_mentions(mentions: DataFrame, symbol_table: DataFrame,
                      broadcast_symtab: bool = True,
-                     salt: int = 0) -> DataFrame:
+                     salt: int = 0,
+                     alias_map: DataFrame | None = None) -> DataFrame:
     """L1/L2/L3: resolve candidate FQN lists to entity ids -> triples.
 
     Candidates are best-first; the join keeps the best hit per mention via a
     top-1 window. The symbol table is broadcast when small (north_star); for
     huge symbol tables set ``broadcast_symtab=False`` and a ``salt`` to defuse
     hub-symbol skew with :func:`salted_join`.
+
+    ``alias_map`` (alias_fqn -> canon_fqn) enables the L3 suffix-shrinking
+    second round (tracking.py:297-327): a dotted candidate that missed is
+    split at every dot; prefixes that are known aliases/bindings (a locally
+    bound module object, a re-exported name) are rewritten to their canonical
+    FQN and the tail re-joined — the relational form of the reference's
+    per-step ``c``, ``b.c``, ``a.b.c`` scope lookups. One rewrite round
+    suffices because the alias chase already flattened alias-of-alias chains.
     """
     m = (mentions.filter(F.col("kind").isin("import", "type", "base"))
          .withColumn("mention_id", F.monotonically_increasing_id())
          .select("repo", "commit", "subj", "pred", "raw", "mention_id",
+                 F.col("kind").alias("mkind"),
                  F.posexplode("candidates").alias("priority", "fqn")))
-    st = symbol_table.select("fqn", "eid", "kind")
-    if broadcast_symtab:
-        joined = m.join(F.broadcast(st), "fqn")
-    elif salt > 1:
-        joined = salted_join(m, st, "fqn", salt=salt)
-    else:
-        joined = m.join(st, "fqn")
+    st = symbol_table.select("fqn", "eid", "kind", "via_alias")
+
+    def join_st(probe):
+        if broadcast_symtab:
+            return probe.join(F.broadcast(st), "fqn")
+        if salt > 1:
+            return salted_join(probe, st, "fqn", salt=salt)
+        return probe.join(st, "fqn")
+
+    joined = join_st(m)
+    if alias_map is not None:
+        # misses only: most mentions resolve in round 1 or are external
+        m = m.localCheckpoint()
+        joined = joined.localCheckpoint()
+        miss = (m.join(joined.select("mention_id").distinct(),
+                       "mention_id", "left_anti")
+                .filter(F.col("fqn").contains(".")))
+        parts = F.split("fqn", "\\.")
+        sp = (miss.withColumn("parts", parts)
+              .withColumn("k", F.explode(
+                  F.sequence(F.lit(1), F.size("parts") - 1)))
+              .withColumn("prefix",
+                          F.array_join(F.slice("parts", F.lit(1), F.col("k")),
+                                       "."))
+              .withColumn("suffix", F.array_join(
+                  F.slice("parts", F.col("k") + 1,
+                          F.size("parts") - F.col("k")), ".")))
+        # alias prefixes are a small fraction of the corpus symbol table;
+        # broadcast keeps the rewrite map-side (salted variant would mirror
+        # the main join's strategy at extreme scale)
+        am = alias_map.select(F.col("alias_fqn").alias("prefix"), "canon_fqn")
+        rewritten = (sp.join(F.broadcast(am) if broadcast_symtab else am,
+                             "prefix")
+                     .select("repo", "commit", "subj", "pred", "raw",
+                             "mention_id", "mkind",
+                             # suffix hits rank after all direct hits; longer
+                             # prefixes (more-specific bindings) win ties
+                             (F.lit(100) + F.col("priority") * 10
+                              - F.col("k")).alias("priority"),
+                             F.concat("canon_fqn", F.lit("."),
+                                      "suffix").alias("fqn")))
+        joined = joined.unionByName(join_st(rewritten))
     # best candidate per mention via min(struct): lexicographic on
     # (priority, kind_rank, eid). Unlike a row_number window keyed by the
     # unique mention id, this aggregates map-side before the shuffle —
     # the shuffle carries one row per mention, not one per candidate hit.
+    # import mentions reference the binding entity itself when one exists
+    # (the reference links the AssignName node, transformer:288-343); type/
+    # base mentions chase through aliases (kind rank already prefers the
+    # chased Class/Package over the shadowing GlobalVariable)
+    import_via_penalty = (F.when((F.col("mkind") == "import")
+                                 & F.col("via_alias"), F.lit(1))
+                          .otherwise(F.lit(0)))
     best = (joined
             .groupBy("mention_id")
             .agg(F.min(F.struct(
-                F.col("priority"), _kind_rank_col().alias("kr"),
+                F.col("priority"), import_via_penalty.alias("vp"),
+                _kind_rank_col().alias("kr"),
                 F.col("eid"), F.col("repo"), F.col("commit"),
                 F.col("subj"), F.col("pred"), F.col("raw"))).alias("best")))
     # `raw` is carried so extends edges keep their base position
@@ -128,10 +195,15 @@ def resolve_mentions(mentions: DataFrame, symbol_table: DataFrame,
 
 
 def expand_wildcards(mentions: DataFrame, entities: DataFrame,
+                     symbol_table: DataFrame | None = None,
                      max_rounds: int = 5) -> DataFrame:
-    """``from m import *`` -> imports edges to every public top-level entity
-    of m, following wildcard re-export chains to a bounded fixpoint
-    (tracking.py:234-255 wildcard_import_names + L2 fixpoint)."""
+    """``from m import *`` -> imports edges to every public top-level name
+    of m — own definitions AND names m itself imported (astroid's
+    wildcard_import_names includes import bindings), following wildcard
+    re-export chains to a bounded fixpoint (tracking.py:234-255 + L2
+    fixpoint). Exports derive from the (chased) symbol table so alias and
+    from-import binding rows export too; falls back to entity rows when no
+    symbol table is passed."""
     wild = mentions.filter(F.col("kind") == "wildcard").select(
         "repo", "commit", "subj", "pred",
         F.element_at("candidates", 1).alias("module_fqn"))
@@ -140,12 +212,33 @@ def expand_wildcards(mentions: DataFrame, entities: DataFrame,
                            F.lit("").alias("obj"),
                            F.lit(False).alias("obj_is_literal")).limit(0)
 
-    ents = entities.withColumn("module_fqn", module_fqn_col(F.col("path")))
-    module_level = (ents.filter(
-        F.col("kind").isin("Class", "Function", "GlobalVariable")
-        & F.col("fqn").isNotNull()
-        & (F.col("fqn") == F.concat_ws(".", "module_fqn", "name")))
-        .select("module_fqn", "name", "eid", "fqn"))
+    if symbol_table is not None:
+        # (module_fqn, name) from the fqn's last dot split; only rows whose
+        # prefix IS a wildcard-imported module survive the join below, so
+        # non-module prefixes (nested classes) are harmless
+        module_level = (symbol_table
+                        .filter(F.col("fqn").contains("."))
+                        .select(
+                            F.regexp_extract("fqn", r"^(.*)\.[^.]+$", 1)
+                            .alias("module_fqn"),
+                            F.regexp_extract("fqn", r"([^.]+)$", 1)
+                            .alias("name"),
+                            "eid", "fqn"))
+    else:
+        ents = entities.withColumn("module_fqn", module_fqn_col(F.col("path")))
+        module_level = (ents.filter(
+            F.col("kind").isin("Class", "Function", "GlobalVariable")
+            & F.col("fqn").isNotNull()
+            & (F.col("fqn") == F.concat_ws(".", "module_fqn", "name")))
+            .select("module_fqn", "name", "eid", "fqn"))
+    module_level = module_level.join(
+        F.broadcast(wild.select("module_fqn").distinct()
+                    .unionByName(
+                        mentions.filter(F.col("kind") == "wildcard")
+                        .withColumn("w", module_fqn_col(F.col("path")))
+                        .select(F.col("w").alias("module_fqn")).distinct())
+                    .distinct()),
+        "module_fqn", "left_semi")
     # __all__ restricts (and can expose underscore names): modules that
     # declared exports use exactly that list; others default to public names
     # (wildcard_import_names semantics, tracking.py:234-255)
@@ -250,12 +343,20 @@ def link_stage(entities: DataFrame, triples: DataFrame, mentions: DataFrame,
 
     symtab = build_symbol_table(entities)
     symtab = chase_aliases(symtab, mentions)
+    # alias map for the L3 suffix round: the chased alias/binding rows,
+    # mapped to their target entity's canonical fqn
+    canon = (entities.filter(F.col("fqn").isNotNull())
+             .select("eid", F.col("fqn").alias("canon_fqn")))
+    alias_map = (symtab.filter(F.col("via_alias")).join(canon, "eid")
+                 .filter(F.col("fqn") != F.col("canon_fqn"))
+                 .select(F.col("fqn").alias("alias_fqn"), "canon_fqn"))
     # resolved feeds several consumers (edges, overrides, fields, output):
     # materialize once so the candidate-join isn't re-executed per consumer
     resolved = resolve_mentions(mentions, symtab,
                                 broadcast_symtab=broadcast_symtab,
-                                salt=salt).localCheckpoint()
-    wild = expand_wildcards(mentions, entities)
+                                salt=salt,
+                                alias_map=alias_map).localCheckpoint()
+    wild = expand_wildcards(mentions, entities, symtab)
 
     classes = entities.filter(F.col("kind") == "Class")
     contrib = mro_and_contributions(

@@ -939,24 +939,41 @@ class FileExtractor:
 
     def _stmt_Import(self, stmt: ast.Import, block_eid):
         eid = self._stmt_base(stmt, "ImportStatement", "Import", block_eid)
+        at_module = self._scopes[-1].kind == "module"
         for alias in stmt.names:
-            self._import_map[alias.asname or alias.name.split(".")[0]] = (
+            local = alias.asname or alias.name.split(".")[0]
+            self._import_map[local] = (
                 alias.name if alias.asname else alias.name.split(".")[0])
             self.mention(eid, "imports", "import", [alias.name], alias.name)
+            # module-scope import BINDING: `import x.y as z` binds m.z to
+            # x.y — emitted as an alias row so attribute chains through the
+            # bound name resolve from other modules (L2/L3 scope-walk half,
+            # tracking.py:156-165 + :297-327)
+            if at_module:
+                self.mention(f"{self.module_fqn}.{local}", "", "alias",
+                             [self._import_map[local]], alias.name)
         return [eid]
 
     def _stmt_ImportFrom(self, stmt: ast.ImportFrom, block_eid):
         eid = self._stmt_base(stmt, "ImportStatement", "Import", block_eid)
         base = self._resolve_from_module(stmt)
+        at_module = self._scopes[-1].kind == "module"
         for alias in stmt.names:
             if alias.name == "*":
                 self.mention(eid, "imports", "wildcard", [base], base)
                 continue
             target = f"{base}.{alias.name}" if base else alias.name
-            self._import_map[alias.asname or alias.name] = target
+            local = alias.asname or alias.name
+            self._import_map[local] = target
             # only the named entity itself — a failed lookup yields nothing,
             # matching the reference's give-up-on-failure (parser.py:67-89)
             self.mention(eid, "imports", "import", [target], target)
+            # module-scope from-import BINDING: `from X import y` binds m.y
+            # to X.y, making re-export chains (facade modules) resolvable
+            # as symbol-table rows via the alias chase
+            if at_module:
+                self.mention(f"{self.module_fqn}.{local}", "", "alias",
+                             [target], alias.name)
         return [eid]
 
     def _resolve_from_module(self, stmt: ast.ImportFrom) -> str:

@@ -97,6 +97,9 @@ SYMBOL_TABLE = T.StructType([
     T.StructField("eid", T.StringType(), False),
     T.StructField("kind", T.StringType(), False),
     T.StructField("repo", T.StringType(), False),
+    # true for alias/import-binding rows added by the L5 chase (the fqn is a
+    # bound name, not the entity's canonical fqn)
+    T.StructField("via_alias", T.BooleanType(), False),
 ])
 
 # Per-stage, per-partition lineage + metrics (north_star checkpoint/resume).

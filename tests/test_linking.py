@@ -146,6 +146,20 @@ def test_diamond_mro_override_winner(spark):
     assert ov["C"] == "A"
 
 
+def test_suffix_shrinking_attribute_chains(linked, extracted):
+    """L3 (tracking.py:297-327): attribute chains through (a) a re-exported
+    name (`facade.hub_fn` where facade does `from hub.core import hub_fn`)
+    and (b) a locally bound module object (`HC = hub.core; HC.HubThing`)
+    both resolve to the canonical entities."""
+    ents = extracted["entities"]
+    types = linked.filter(F.col("pred") == WOC + "hasType")
+    tgt = (types.join(ents.select(F.col("eid").alias("obj"), "fqn"), "obj")
+           .select("fqn").distinct())
+    got = {r["fqn"] for r in tgt.collect()}
+    assert "hub.core.HubThing" in got   # via alias-prefix rewrite round
+    assert "hub.core.hub_fn" in got     # via from-import binding row
+
+
 def test_wildcard_reexport_chain(linked, extracted):
     # hub/user_NN.py does `from hub.re_exports import *` where re_exports
     # wildcard-imports base_exports -> BASE_NAME must be imported
@@ -164,7 +178,8 @@ def test_alias_chase(spark, extracted):
     # chase itself.
     from codeontologypython_spark.schemas import MENTIONS
     st = spark.createDataFrame(
-        [("mod.Target", "E1", "Class", "r")], ["fqn", "eid", "kind", "repo"])
+        [("mod.Target", "E1", "Class", "r", False)],
+        ["fqn", "eid", "kind", "repo", "via_alias"])
     mentions = spark.createDataFrame(
         [("r", "mod.py", "c0", "mod.A1", "", "alias", ["mod.Target"], "Target"),
          ("r", "mod.py", "c0", "mod.A2", "", "alias", ["mod.A1"], "A1")],

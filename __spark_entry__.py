@@ -393,6 +393,46 @@ def _mh_expr(k: int) -> str:
             f"s -> ('0x' || substr(md5('{k}:' || s), 1, 8))::BIGINT)) AS mh_{k}")
 
 
+def _simhash_sql() -> str:
+    """64-bit majority-vote SimHash (functions/dedup.simhash64) in DuckDB:
+    per bit, majority of that bit across the token-md5 halves; word = sum of
+    (majority << b). Shifts wrap two's-complement identically in Spark and
+    DuckDB, so the 64-bit value (and its 16-bit chunks) are bit-identical."""
+    def word(col: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN 2*list_sum(list_transform({col}, h -> (h >> {b}) & 1))"
+            f" > n THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+            for b in range(32))
+
+    # the 64-bit pack (hi << 32) overflows DuckDB's checked BIGINT shift, so
+    # compare the four 16-bit chunks straight off the 32-bit halves —
+    # bit-identical to Spark's (simhash64 >> 16i) & 0xFFFF because the pack
+    # is a pure bit concatenation (no carries)
+    eq = " + ".join(
+        f"(CASE WHEN a.c{i} = b.c{i} THEN 1 ELSE 0 END)" for i in range(4))
+    chunk_join = " OR ".join(f"(a.c{i} = b.c{i})" for i in range(4))
+    return f"""
+        WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks
+                   FROM documents WHERE doc_id < 200),
+        parts AS (SELECT doc_id,
+                    list_transform(toks, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs,
+                    list_transform(toks, x -> ('0x' || substr(md5(x), 9, 8))::BIGINT) AS ls,
+                    len(toks) AS n
+                  FROM t),
+        w AS (SELECT doc_id, ({word('hs')}) AS hi, ({word('ls')}) AS lo
+              FROM parts),
+        c AS (SELECT doc_id,
+                     lo & 65535 AS c0, (lo >> 16) & 65535 AS c1,
+                     hi & 65535 AS c2, (hi >> 16) & 65535 AS c3
+              FROM w),
+        scored AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          ({eq}) AS equal_chunks
+                   FROM c a JOIN c b ON a.doc_id < b.doc_id
+                                    AND ({chunk_join}))
+        SELECT doc_a, doc_b, equal_chunks
+        FROM scored WHERE equal_chunks >= 3"""
+
+
 def oracle_sql() -> dict[str, str]:
     mh_cols = ",\n  ".join(_mh_expr(k) for k in range(8))
     sig_cte = (
@@ -526,9 +566,14 @@ def oracle_sql() -> dict[str, str]:
             FROM t""",
         "q_ngram_jaccard": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-            sh AS (SELECT doc_id,
-                          unnest({_SHINGLES.format(t='t')}) AS shingle
-                   FROM toks),
+            sh_all AS (SELECT doc_id,
+                              unnest({_SHINGLES.format(t='t')}) AS shingle
+                       FROM toks),
+            -- stop-shingle cap mirrors ngram_jaccard_pairs(max_shingle_df)
+            sh AS (SELECT * FROM sh_all
+                   WHERE shingle IN (SELECT shingle FROM sh_all
+                                     GROUP BY shingle
+                                     HAVING COUNT(*) <= 500)),
             sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
             inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                              COUNT(*) AS i
@@ -542,6 +587,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.2""",
         "q_minhash_signature": sig_cte + "\nSELECT * FROM sig",
+        "q_simhash_pairs": _simhash_sql(),
         "q_minhash_lsh": sig_cte + f""",
             bands AS ({bands}),
             cand AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b

@@ -169,8 +169,16 @@ def simhash64(text: Column) -> Column:
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
                            min_equal_chunks: int = 3) -> DataFrame:
-    """Near-dup candidates: equal value in >= k of the 4 16-bit chunks
-    (standard SimHash block-permutation trick as a self-join per chunk)."""
+    """Near-dup pairs: equal value in >= k of the 4 16-bit chunks (standard
+    SimHash block-permutation trick).
+
+    Candidate generation joins on chunk PAIRS (6 C(4,2) combinations, 32-bit
+    keys -> ~4e9 buckets) rather than single 16-bit chunks (65,536 buckets,
+    whose self-join goes quadratic at 10^10+ docs). Lossless for
+    min_equal_chunks >= 2: a pair equal in >= 3 of 4 chunks is equal in
+    >= 3 of the 6 chunk pairs, so the candidate set is a superset and the
+    final equal-chunks filter yields identical rows."""
+    assert min_equal_chunks >= 2, "chunk-pair bucketing needs >=2 equal chunks"
     sh = df.select(F.col(id_col).alias("doc"),
                    simhash64(F.col(text_col)).alias("sh"))
     chunks = sh.select(
@@ -178,12 +186,15 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
         *[(F.shiftright("sh", 16 * i).bitwiseAND(F.lit(0xFFFF)))
           .alias(f"c{i}") for i in range(4)])
     pairs = None
-    for i in range(4):
+    combos = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    for i, j in combos:
         x = chunks.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"),
-                          F.col(f"c{i}").alias("ck"))
+                          F.col(f"c{i}").alias("ck_i"),
+                          F.col(f"c{j}").alias("ck_j"))
         y = chunks.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"),
-                          F.col(f"c{i}").alias("ck"))
-        p = (x.join(y, "ck").filter(F.col("doc_a") < F.col("doc_b"))
+                          F.col(f"c{i}").alias("ck_i"),
+                          F.col(f"c{j}").alias("ck_j"))
+        p = (x.join(y, ["ck_i", "ck_j"]).filter(F.col("doc_a") < F.col("doc_b"))
              .select("doc_a", "doc_b", "sh_a", "sh_b"))
         pairs = p if pairs is None else pairs.unionByName(p)
     pairs = pairs.distinct()

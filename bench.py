@@ -36,7 +36,7 @@ HEADLINE = [
     "q_knn_cosine",
 ]
 
-KG_FILES = int(os.environ.get("SPARK_GRAFT_KG_FILES", "3000"))
+KG_FILES = int(os.environ.get("SPARK_GRAFT_KG_FILES", "12000"))
 KG_UNITS = int(os.environ.get("SPARK_GRAFT_KG_UNITS", "40"))
 KG_REPEATS = int(os.environ.get("SPARK_GRAFT_KG_REPEATS", "2"))
 
@@ -69,11 +69,9 @@ def kg_extract_run(cpus: int, n_files: int = KG_FILES,
     Arrow stream through ONE shared JVM, an artifact a multi-executor
     cluster does not have (each executor ingests its own workers' output).
     """
-    import pandas as pd
-
     from codeontologypython_spark.corpus.fixtures import synthetic_corpus_df
     from codeontologypython_spark.operators.extract import (
-        _extract_batches,
+        _extract_record_batches,
         extract_stage,
     )
     from codeontologypython_spark.session import get_spark
@@ -89,14 +87,15 @@ def kg_extract_run(cpus: int, n_files: int = KG_FILES,
     src.count()
 
     def consume(batches):
+        import pyarrow as pa
         n = 0
-        for f in _extract_batches(batches):
-            n += len(f)
-        yield pd.DataFrame({"rows": [n]})
+        for b in _extract_record_batches(batches):
+            n += b.num_rows
+        yield pa.record_batch([pa.array([n], pa.int64())], names=["rows"])
 
     def run_once(df):
         if udf_only:
-            df.mapInPandas(consume, "rows long").collect()
+            df.mapInArrow(consume, "rows long").collect()
         else:
             _noop_write(extract_stage(df))
 
@@ -113,6 +112,39 @@ def kg_extract_run(cpus: int, n_files: int = KG_FILES,
         best = dt if best is None else min(best, dt)
     spark.stop()
     return n_files, best
+
+
+def kg_extract_confined(cpus: int, repeats: int = KG_REPEATS,
+                        udf_only: bool = False) -> tuple[int, float]:
+    """Run kg_extract_run in a subprocess pinned to ``cpus`` CPUs.
+
+    An N-executor cluster gives the engine N cores TOTAL — JVM feed threads,
+    GC and Python workers all share them. Unconfined local[8] on a 32-core
+    box leaks the idle cores to the JVM side of the pipeline (measured: the
+    8-task-slot run keeps ~16 cores busy), inflating the lo baseline and
+    understating scaling efficiency. ``taskset`` confinement restores the
+    honest N-core-node emulation; falls back to in-process (unconfined) when
+    taskset is unavailable.
+    """
+    import shutil
+    import subprocess
+
+    if shutil.which("taskset") is None or cpus >= (os.cpu_count() or cpus):
+        return kg_extract_run(cpus, repeats=repeats, udf_only=udf_only)
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from bench import kg_extract_run\n"
+        "n, t = kg_extract_run(%d, repeats=%d, udf_only=%r)\n"
+        "print('KGRESULT %%d %%f' %% (n, t))\n"
+        % (os.path.dirname(os.path.abspath(__file__)), cpus, repeats, udf_only))
+    out = subprocess.run(
+        ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=3600)
+    for line in out.stdout.splitlines():
+        if line.startswith("KGRESULT"):
+            _, n, t = line.split()
+            return int(n), float(t)
+    raise RuntimeError(f"confined bench run failed: {out.stderr[-2000:]}")
 
 
 def _burn(seconds: float) -> int:
@@ -138,6 +170,48 @@ def hw_ceiling(lo: int = 8, hi: int = 32, seconds: float = 2.0) -> float:
     return (rates[hi] / rates[lo]) / (hi / lo)
 
 
+def _extract_chunk(rng: tuple) -> int:
+    """Pure-Python extraction worker for workload_ceiling (no Spark)."""
+    import gc
+
+    gc.disable()
+    from codeontologypython_spark.corpus.fixtures import synthetic_module_text
+    from codeontologypython_spark.operators.pyfile import extract_file_columnar
+    n = 0
+    for i in range(*rng):
+        fx, _ = extract_file_columnar(
+            "r", f"m_{i}.py", "c0", synthetic_module_text(i, KG_UNITS))
+        if fx is not None:
+            n += 1
+    return n
+
+
+def workload_ceiling(lo: int = 8, hi: int = 32, n_files: int = 3000) -> float:
+    """THIS workload's scaling ceiling: the same per-file extraction run by
+    plain multiprocessing (no Spark, no Arrow, no JVM), each level pinned to
+    its core count. Extraction is allocator/memory-bandwidth heavy, so its
+    ceiling sits BELOW the busy-loop hw ceiling (measured ~0.65-0.70 vs 0.85
+    on this VM); engine efficiency should be read against this number — it is
+    what a zero-overhead engine could achieve on this box."""
+    import multiprocessing as mp
+
+    all_cpus = os.sched_getaffinity(0)
+    rates = {}
+    try:
+        for n in (lo, hi):
+            os.sched_setaffinity(0, set(range(n)))
+            step = max(1, n_files // (n * 12))
+            rngs = [(s, min(s + step, n_files))
+                    for s in range(0, n_files, step)]
+            with mp.Pool(n) as p:
+                t0 = time.time()
+                p.map(_extract_chunk, rngs)
+                rates[n] = n_files / (time.time() - t0)
+    finally:
+        os.sched_setaffinity(0, all_cpus)
+    return (rates[hi] / rates[lo]) / (hi / lo)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -149,20 +223,22 @@ def main():
     queries = time_queries(spark, sf_dir)
     spark.stop()
 
-    # scaling evidence: same job, same input, N vs 4N cores. The sandbox VM
-    # shows heavy run-to-run interference (wall times vary up to 3x at fixed
-    # config), so each level reports the best of KG_REPEATS runs — the
-    # closest observable to an uncontended node (see BASELINE.md).
+    # scaling evidence: same job, same input, N vs 4N cores, each level
+    # PINNED to its core count (kg_extract_confined docstring — an N-executor
+    # cluster is N cores total). The sandbox VM shows heavy run-to-run
+    # interference (wall times vary up to 3x at fixed config), so each level
+    # reports the best of KG_REPEATS runs — the closest observable to an
+    # uncontended node (see BASELINE.md).
     lo_cpus, hi_cpus = 8, 32
-    n_files, t_lo = kg_extract_run(lo_cpus, repeats=KG_REPEATS)
-    _, t_hi = kg_extract_run(hi_cpus, repeats=KG_REPEATS)
+    n_files, t_lo = kg_extract_confined(lo_cpus, repeats=KG_REPEATS)
+    _, t_hi = kg_extract_confined(hi_cpus, repeats=KG_REPEATS)
     fps_lo = n_files / t_lo
     fps_hi = n_files / t_hi
     efficiency = (fps_hi / fps_lo) / (hi_cpus / lo_cpus)
     # compute-side scaling: excludes the local-mode-only shared-JVM ingest
     # (per-executor on a real cluster) — see kg_extract_run docstring
-    _, u_lo = kg_extract_run(lo_cpus, repeats=KG_REPEATS, udf_only=True)
-    _, u_hi = kg_extract_run(hi_cpus, repeats=KG_REPEATS, udf_only=True)
+    _, u_lo = kg_extract_confined(lo_cpus, repeats=KG_REPEATS, udf_only=True)
+    _, u_hi = kg_extract_confined(hi_cpus, repeats=KG_REPEATS, udf_only=True)
     udf_efficiency = ((n_files / u_hi) / (n_files / u_lo)) / (hi_cpus / lo_cpus)
 
     total = round(time.time() - t_all, 3)
@@ -183,6 +259,8 @@ def main():
                 "udf_fps_hi": round(n_files / u_hi, 1),
                 "udf_efficiency": round(udf_efficiency, 3),
                 "hw_ceiling_efficiency": round(hw_ceiling(lo_cpus, hi_cpus), 3),
+                "workload_ceiling_efficiency":
+                    round(workload_ceiling(lo_cpus, hi_cpus), 3),
             },
         },
     }))

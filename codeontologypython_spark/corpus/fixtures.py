@@ -365,6 +365,14 @@ _UNIT_FMT = (
     "        return self.x_%1$d\n")
 
 
+def synthetic_module_text(i: int, units: int = 40) -> str:
+    """Pure-Python twin of synthetic_corpus_df's per-file content (same
+    bytes), for no-Spark baselines like bench.workload_ceiling."""
+    unit_py = _UNIT_FMT.replace("%1$d", "%(i)d")
+    body = "\n".join(unit_py % {"i": k} for k in range(1, units + 1))
+    return '"""Synthetic module %d."""\nimport synth.hub\n%s' % (i, body)
+
+
 def synthetic_corpus_df(spark: SparkSession, n_files: int, units: int = 40,
                         partitions: int | None = None) -> DataFrame:
     """Deterministic synthetic corpus generated ENTIRELY executor-side

@@ -1,7 +1,7 @@
 """Stage 1 — distributed per-file extraction (SURVEY.md §2.2, north_star:
 "vectorized pandas/Arrow UDFs parse each Python file's AST per partition").
 
-One ``mapInPandas`` pass over the source_files table runs
+One ``mapInArrow`` pass over the source_files table runs
 :func:`codeontologypython_spark.operators.pyfile.extract_file` per row and
 emits a unified flat record stream (entities / per-file triples / mentions /
 errors), split afterwards by cheap filter+select. Each file is parsed exactly
@@ -10,9 +10,13 @@ once — the relational replacement for the reference's astroid FQN parse cache
 
 Throughput notes (measured, see BASELINE.md):
 - each input file emits ~10^3-10^4 output rows, so the OUTPUT path dominates:
-  frames are built from tuple lists per record family (C-speed constructors),
-  never dict-per-row;
-- output frames are yielded in bounded chunks so a batch of large files
+  record batches are built straight from per-family Python lists with
+  ``pa.array`` (C-speed conversion) — no pandas detour, no per-row tuples.
+  Switching the frame layer from pandas to Arrow batches cut the per-file
+  Python cost ~35% at 32 cores (round-2 measurement);
+- absent family columns are ``pa.nulls`` (O(1) per batch, vs pandas
+  None-fill materializing a full object column);
+- output batches are yielded in bounded chunks so a batch of large files
   cannot blow worker memory (SURVEY §7 hard-part 7);
 - per-row failures degrade to error records, never fail the job
   (parser.py:67-89 warn-and-skip).
@@ -22,7 +26,6 @@ from __future__ import annotations
 
 from typing import Iterator
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -30,15 +33,14 @@ from codeontologypython_spark import woc
 from codeontologypython_spark.schemas import EXTRACT_OUTPUT
 
 _COLS = [f.name for f in EXTRACT_OUTPUT.fields]
-# rows per yielded output frame (~100 MB of strings at typical row sizes)
+# rows per yielded output batch (~100 MB of strings at typical row sizes)
 _CHUNK_ROWS = 1_000_000
 
 
 class _FamilyBuffer:
     """Columnar accumulator for ONE record family. Only the family's own
-    columns are Python lists; the other families' columns are added as
-    C-speed scalar None columns at frame time — so the per-triple cost is
-    exactly 8 list appends, nothing else."""
+    columns are Python lists; the other families' columns become pa.nulls at
+    batch time — so the per-triple cost is exactly 8 list appends."""
 
     def __init__(self, rec: str, cols: list[str]):
         self.rec = rec
@@ -56,21 +58,30 @@ class _FamilyBuffer:
             lst.extend(src)
         self.n += n
 
-    def frame(self) -> pd.DataFrame:
-        data = {"repo": self.key_cols[0], "path": self.key_cols[1],
-                "commit": self.key_cols[2]}
-        df = pd.DataFrame(data)
-        df["rec"] = self.rec
-        for c, lst in zip(self.names, self.cols):
-            df[c] = lst
+    def batch(self):
+        import pyarrow as pa
+        n = self.n
+        own = dict(zip(self.names, self.cols))
+        arrays = []
         for c in _COLS:
-            if c not in df.columns:
-                df[c] = None
-        return df[_COLS]
+            if c == "repo":
+                arrays.append(pa.array(self.key_cols[0], pa.string()))
+            elif c == "path":
+                arrays.append(pa.array(self.key_cols[1], pa.string()))
+            elif c == "commit":
+                arrays.append(pa.array(self.key_cols[2], pa.string()))
+            elif c == "rec":
+                arrays.append(pa.array([self.rec] * n, pa.string()))
+            elif c in own:
+                arrays.append(pa.array(own[c], pa.string()))
+            else:
+                arrays.append(pa.nulls(n, pa.string()))
+        return pa.record_batch(arrays, names=_COLS)
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame],
-                     emit_invokes: bool = False) -> Iterator[pd.DataFrame]:
+def _extract_record_batches(batches, emit_invokes: bool = False):
+    """Arrow-in/Arrow-out extraction core (shared by extract_stage and the
+    bench's udf-only consumer)."""
     # import inside the worker so the UDF ships cleanly via --py-files
     import gc
 
@@ -91,11 +102,14 @@ def _extract_batches(batches: Iterator[pd.DataFrame],
         )
 
     try:
-        for pdf in batches:
+        for rb in batches:
             ent_b, trp_b, men_b, err_b = new_bufs()
             for repo, path, commit, lang, content in zip(
-                    pdf["repo"], pdf["path"], pdf["commit"],
-                    pdf["lang"], pdf["content"]):
+                    rb.column("repo").to_pylist(),
+                    rb.column("path").to_pylist(),
+                    rb.column("commit").to_pylist(),
+                    rb.column("lang").to_pylist(),
+                    rb.column("content").to_pylist()):
                 if lang != "python" or content is None:
                     continue  # non-python rows ignored (FIXTURES.md §1)
                 fx, error = extract_file_columnar(repo, path, commit, content,
@@ -129,12 +143,12 @@ def _extract_batches(batches: Iterator[pd.DataFrame],
                 if ent_b.n + trp_b.n >= _CHUNK_ROWS:
                     for b in (ent_b, trp_b, men_b, err_b):
                         if b.n:
-                            yield b.frame()
+                            yield b.batch()
                     ent_b, trp_b, men_b, err_b = new_bufs()
                     gc.collect()
             for b in (ent_b, trp_b, men_b, err_b):
                 if b.n:
-                    yield b.frame()
+                    yield b.batch()
     finally:
         if gc_was_enabled:
             gc.enable()
@@ -150,9 +164,9 @@ def extract_stage(src_df: DataFrame, emit_invokes: bool = False) -> DataFrame:
     pythonic = src_df.filter(F.col("lang") == "python")
 
     def run(batches):
-        return _extract_batches(batches, emit_invokes=emit_invokes)
+        return _extract_record_batches(batches, emit_invokes=emit_invokes)
 
-    return pythonic.mapInPandas(run, schema=EXTRACT_OUTPUT)
+    return pythonic.mapInArrow(run, schema=EXTRACT_OUTPUT)
 
 
 def split_extraction(out_df: DataFrame):

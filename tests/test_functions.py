@@ -146,9 +146,44 @@ def test_multimodal_plumbing(spark):
     feats2 = decode_and_featurize(media, fake=True).collect()
     assert {r["media_id"]: r["feature"] for r in feats2} == \
            {r["media_id"]: r["feature"] for r in feats}
-    # real decode path is stubbed
-    with pytest.raises(Exception):
-        decode_and_featurize(media, fake=False).collect()
+    # real path on opaque payloads: warn-and-skip rows, never job failure
+    real_on_fake = decode_and_featurize(media, fake=False).collect()
+    assert all(r["status"] == "unsupported" and r["feature"] is None
+               for r in real_on_fake)
     plan = frame_sample_plan(media, every_ms=2000)
     vids = media.filter(F.col("kind") == "video").count()
     assert plan.count() >= vids
+
+
+def test_multimodal_real_decode(spark):
+    """Genuine decodes via the pure-stdlib PNG and WAV codecs (Pillow/
+    soundfile probed first when importable)."""
+    from codeontologypython_spark.functions.multimodal import (
+        decode_and_featurize,
+        decode_png,
+        encode_png_gray,
+        synthetic_media_df,
+    )
+    # codec roundtrip: encode -> decode recovers the pixels
+    pixels = [[(x * 7 + y) % 256 for x in range(9)] for y in range(5)]
+    w, h, flat = decode_png(encode_png_gray(pixels))
+    assert (w, h) == (9, 5)
+    assert flat == [p for row in pixels for p in row]
+
+    media = synthetic_media_df(spark, 12, real=True)
+    feats = {r["media_id"]: r for r in
+             decode_and_featurize(media, fake=False).collect()}
+    img = [r for r in feats.values() if r["kind"] == "image"]
+    aud = [r for r in feats.values() if r["kind"] == "audio"]
+    vid = [r for r in feats.values() if r["kind"] == "video"]
+    assert img and all(r["status"] in ("builtin-png", "pil") for r in img)
+    assert all(len(r["feature"]) == 8 for r in img)
+    assert aud and all(r["status"] in ("builtin-wav", "soundfile")
+                       for r in aud)
+    assert all(r["feature"] is not None for r in aud)
+    # video: no stdlib decoder — honest unsupported rows
+    assert vid and all(r["status"] == "unsupported" for r in vid)
+    # determinism
+    feats2 = {r["media_id"]: r["feature"] for r in
+              decode_and_featurize(media, fake=False).collect()}
+    assert feats2 == {k: r["feature"] for k, r in feats.items()}

@@ -252,3 +252,27 @@ def test_wildcard_respects_dunder_all(linked, extracted):
     assert "hub.all_exports.VISIBLE" in got
     assert "hub.all_exports._EXPOSED_PRIVATE" in got
     assert "hub.all_exports.HIDDEN" not in got
+
+
+def test_extension_stub_resolves_import(spark):
+    """S7 (reference parser.py:125-166): a corpus importing `math` resolves
+    against the ingest-time interface stub rows."""
+    from codeontologypython_spark.operators.extract import (
+        extract_stage, split_extraction)
+    from codeontologypython_spark.operators import linking
+    from codeontologypython_spark.sources.stubs import extension_stubs_df
+    user = spark.createDataFrame(
+        [("r", "use.py", "c0", "python",
+          "import math\n\ndef area(r: float) -> float:\n"
+          "    return math.pi * r * r\n")],
+        ["repo", "path", "commit", "lang", "content"])
+    src = user.unionByName(extension_stubs_df(spark, ["math", "not_a_module"]))
+    e, t, m, _ = split_extraction(extract_stage(src).localCheckpoint())
+    resolved, _, _ = linking.link_stage(e, t, m)
+    hits = (resolved.filter(F.col("pred") == WOC + "imports")
+            .join(e.select(F.col("eid").alias("obj"), "fqn", "kind"), "obj"))
+    got = {(r["kind"], r["fqn"]) for r in hits.collect()}
+    assert ("Package", "math") in got
+    # the stub's members are real entities (sqrt is a module-level function)
+    assert not e.filter((F.col("fqn") == "math.sqrt")
+                        & (F.col("kind") == "Function")).isEmpty()

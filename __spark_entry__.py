@@ -451,6 +451,35 @@ def oracle_sql() -> dict[str, str]:
         " / (sqrt(list_sum(list_transform(qv, x -> x * x)))"
         " * sqrt(list_sum(list_transform(cv, x -> x * x)))), 4)")
 
+    # q_lsh_ann oracle: the hyperplanes are seeded-deterministic literals
+    # (similarity._hyperplanes(64, 4, 42)) — embed the SAME constants so the
+    # sign-LSH buckets match Spark's bit-for-bit
+    from codeontologypython_spark.functions.similarity import _hyperplanes
+    _planes = _hyperplanes(64, 4, 42)
+
+    def _plane_dot(vcol: str, plane: list[float]) -> str:
+        arr = "[" + ",".join(repr(x) for x in plane) + "]"
+        return (f"list_sum(list_transform(range(1, 65), "
+                f"i -> {vcol}[i] * ({arr}::DOUBLE[])[i]))")
+
+    _bucket = " + ".join(
+        f"(CASE WHEN {_plane_dot('v', p)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(_planes))
+    lsh_ann_sql = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, ({_bucket}) AS bucket FROM e),
+        qs AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b
+               WHERE vec_id < 10),
+        s AS (SELECT query_id, b.vec_id AS neighbor_id,
+                     qv, b.v AS cv
+              FROM qs JOIN b ON qs.bucket = b.bucket
+                            AND b.vec_id <> qs.query_id),
+        scored AS (SELECT query_id, neighbor_id, {cos_expr} AS cos FROM s)
+        SELECT query_id, neighbor_id, cos, rank FROM (
+          SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored) WHERE rank <= 5"""
+
     return {
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
@@ -588,6 +617,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.2""",
         "q_minhash_signature": sig_cte + "\nSELECT * FROM sig",
         "q_simhash_pairs": _simhash_sql(),
+        "q_lsh_ann": lsh_ann_sql,
         "q_minhash_lsh": sig_cte + f""",
             bands AS ({bands}),
             cand AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b

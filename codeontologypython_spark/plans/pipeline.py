@@ -96,7 +96,8 @@ def run_pipeline(
             kept.write.mode("overwrite").parquet(s1_path)
     else:
         todo = src_df
-    if not todo.isEmpty():
+    stage1_fresh = not todo.isEmpty()
+    if stage1_fresh:
         out = extract_stage(todo)
         out.write.mode("append" if done is not None else "overwrite").parquet(s1_path)
     extracted = spark.read.parquet(s1_path)
@@ -116,31 +117,52 @@ def run_pipeline(
     triples = triples.persist()
     mentions = mentions.persist()
 
+    # downstream checkpoints are reusable on resume only when stage 1 added
+    # nothing new (their inputs are then byte-identical to the prior run)
+    def _stage_done(stage: str, *paths: str) -> bool:
+        if not (resume and not stage1_fresh):
+            return False
+        if not all(_exists(spark, p) for p in paths):
+            return False
+        return not (spark.read.parquet(lineage_path)
+                    .filter((F.col("stage") == stage)
+                            & (F.col("status") == "ok")).isEmpty())
+
     # ---- Stage 2: link (parquet checkpoint for resume + plan isolation) ---
     s2_path = os.path.join(workdir, "stage2_resolved")
     s2_ents_path = os.path.join(workdir, "stage2_entities")
-    resolved, extra_entities, triples = link_stage(
-        entities, triples, mentions,
-        broadcast_symtab=broadcast_symtab, salt=salt)
-    resolved.write.mode("overwrite").parquet(s2_path)
-    resolved = spark.read.parquet(s2_path)
-    extra_entities.write.mode("overwrite").parquet(s2_ents_path)
-    extra_entities = spark.read.parquet(s2_ents_path)
-    _append_lineage(
-        spark, lineage_path, "link",
-        resolved.groupBy("repo").agg(F.count("*").alias("rows_out"))
-        .withColumn("rows_in", F.lit(None).cast("long")))
-    all_triples = triples.unionByName(resolved)
+    if _stage_done("link", s2_path, s2_ents_path):
+        resolved = spark.read.parquet(s2_path)
+        extra_entities = spark.read.parquet(s2_ents_path)
+    else:
+        resolved, extra_entities, triples = link_stage(
+            entities, triples, mentions,
+            broadcast_symtab=broadcast_symtab, salt=salt)
+        resolved.write.mode("overwrite").parquet(s2_path)
+        resolved = spark.read.parquet(s2_path)
+        extra_entities.write.mode("overwrite").parquet(s2_ents_path)
+        extra_entities = spark.read.parquet(s2_ents_path)
+        _append_lineage(
+            spark, lineage_path, "link",
+            resolved.groupBy("repo").agg(F.count("*").alias("rows_out"))
+            .withColumn("rows_in", F.lit(None).cast("long")))
 
     # ---- Stage 3: canonicalize -------------------------------------------
-    final = canonicalize_stage(entities.unionByName(extra_entities),
-                               all_triples)
-    final.write.mode("overwrite").parquet(s3_path)
-    final = spark.read.parquet(s3_path)
-    _append_lineage(
-        spark, lineage_path, "canonicalize",
-        final.groupBy("repo").agg(F.count("*").alias("rows_out"))
-        .withColumn("rows_in", F.lit(None).cast("long")))
+    if _stage_done("canonicalize", s3_path):
+        final = spark.read.parquet(s3_path)
+    else:
+        # NOTE: when stage 2 was skipped, `triples` still contains the raw
+        # field-fact rows — recompute the base split the same way link_stage
+        # does so the union matches the non-resumed plan
+        base_triples = triples.filter(~F.col("subj").contains("\x02"))
+        final = canonicalize_stage(entities.unionByName(extra_entities),
+                                   base_triples.unionByName(resolved))
+        final.write.mode("overwrite").parquet(s3_path)
+        final = spark.read.parquet(s3_path)
+        _append_lineage(
+            spark, lineage_path, "canonicalize",
+            final.groupBy("repo").agg(F.count("*").alias("rows_out"))
+            .withColumn("rows_in", F.lit(None).cast("long")))
 
     # ---- Stage 4: materialize --------------------------------------------
     triples_path = os.path.join(workdir, "triple_table")

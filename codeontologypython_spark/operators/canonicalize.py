@@ -135,6 +135,55 @@ def materialize_inverses(triples: DataFrame) -> DataFrame:
     return triples.unionByName(inverses)
 
 
+def degrade_argless_ptypes(entities: DataFrame, triples: DataFrame) -> DataFrame:
+    """A ParameterizedType whose generic resolved but NONE of whose type
+    arguments did degrades to the plain generic class — the reference links
+    the bare generic when ``is_all_none(parameterized_individuals)``
+    (extractor.py:955-961). Common shape: ``Box[T]`` where ``Box`` is
+    corpus-local but ``T`` is an unresolvable TypeVar.
+
+    Single pass suffices for nesting: an inner ParameterizedType is itself a
+    non-literal hasArgumentType object, so its enclosing TypeArgument counts
+    as resolved regardless of the inner one's later rewrite."""
+    ptypes = entities.filter(F.col("kind") == "ParameterizedType").select("eid")
+    generic = (triples.filter(F.col("pred") == WOC + "hasGenericType")
+               .select(F.col("subj").alias("eid"), F.col("obj").alias("gen")))
+    targs = (triples.filter(F.col("pred") == WOC + "hasActualTypeArgument")
+             .select(F.col("subj").alias("eid"), F.col("obj").alias("targ")))
+    resolved_args = (triples.filter((F.col("pred") == WOC + "hasArgumentType")
+                                    & ~F.col("obj_is_literal"))
+                     .select(F.col("subj").alias("targ")).distinct())
+    has_resolved_arg = (targs.join(resolved_args, "targ", "left_semi")
+                        .select("eid").distinct())
+    degenerate = (ptypes.join(generic, "eid")
+                  .join(has_resolved_arg, "eid", "left_anti")
+                  .localCheckpoint())
+    if degenerate.isEmpty():
+        return triples
+    # rewrite inbound type links to the generic class (tiny map, broadcast)
+    rmap = degenerate.select(F.col("eid").alias("obj"),
+                             F.col("gen").alias("new_obj"))
+    rewritten = (triples
+                 .join(F.broadcast(rmap), "obj", "left")
+                 .withColumn("obj", F.when(
+                     F.col("new_obj").isNotNull()
+                     & F.col("pred").isin(WOC + "hasType",
+                                          WOC + "hasArgumentType"),
+                     F.col("new_obj")).otherwise(F.col("obj")))
+                 .drop("new_obj"))
+    # drop the degenerate subtree (its own triples + its TypeArguments')
+    drop = (degenerate.select("eid")
+            .unionByName(targs.join(degenerate.select("eid"), "eid",
+                                    "left_semi")
+                         .select(F.col("targ").alias("eid")))
+            .distinct())
+    return (rewritten
+            .join(F.broadcast(drop.withColumnRenamed("eid", "subj")),
+                  "subj", "left_anti")
+            .join(F.broadcast(drop.withColumnRenamed("eid", "obj")),
+                  "obj", "left_anti"))
+
+
 def prune_dangling_ptypes(entities: DataFrame, triples: DataFrame) -> DataFrame:
     """Drop ParameterizedType entities that (a) never resolved a generic
     (reference generic-individual-None rule, extractor.py:952-961) or
@@ -199,7 +248,8 @@ def canonicalize_stage(entities: DataFrame, all_triples: DataFrame) -> DataFrame
     Stage-3 parquet/Iceberg checkpoints.
     """
     entities = dedup_entities(entities)
-    pruned = prune_dangling_ptypes(entities, all_triples)
+    degraded = degrade_argless_ptypes(entities, all_triples)
+    pruned = prune_dangling_ptypes(entities, degraded)
     # dedup BEFORE IRI hashing: (a) the IRI aggregation then sees each
     # neighbor name once (duplicate emissions would perturb the hash input),
     # (b) the IRI-rewrite joins and the inverse union process one row per

@@ -143,3 +143,41 @@ def test_entry_smoke(spark):
     import __spark_entry__ as entry_mod
     df = entry_mod.entry(spark)
     assert df.count() >= 0
+
+
+def test_argless_ptype_degrades_to_generic(spark):
+    """Box[T] with Box corpus-local and T unresolvable: the reference links
+    the bare generic class when no type argument resolves (is_all_none rule,
+    extractor.py:955-961)."""
+    from pyspark.sql import functions as F
+    from codeontologypython_spark.operators.canonicalize import canonicalize_stage
+    from codeontologypython_spark.operators.extract import (
+        extract_stage, split_extraction)
+    from codeontologypython_spark.operators.linking import link_stage
+    src = spark.createDataFrame(
+        [("r", "g.py", "c0", "python",
+          "class Box:\n    pass\n\n"
+          "class Known:\n    pass\n\n"
+          "def f(a: Box[T], b: Box[Known]):\n    pass\n")],
+        ["repo", "path", "commit", "lang", "content"])
+    e, t, m, _ = split_extraction(extract_stage(src).localCheckpoint())
+    resolved, xe, t2 = link_stage(e, t, m)
+    final = canonicalize_stage(e.unionByName(xe), t2.unionByName(resolved))
+    woc = "http://rdf.webofcode.org/woc/"
+    # param a: hasType must point at a CLASS iri (Box directly), and no
+    # ParameterizedType may survive with zero resolved arguments
+    types = final.filter(F.col("pred") == woc + "hasType").select("obj")
+    ptype_subjects = {r["subj"] for r in final.filter(
+        F.col("pred") == woc + "hasGenericType").collect()}
+    class_iris = {r["subj"] for r in final.filter(
+        (F.col("pred") == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+        & (F.col("obj") == woc + "Class")).collect()}
+    targets = {r["obj"] for r in types.collect()}
+    # both a plain class target (degraded Box[T] -> Box) and one surviving
+    # parameterized target (Box[Known]) must exist
+    assert targets & class_iris
+    assert targets & ptype_subjects
+    # the surviving ptype has a resolved argument
+    surviving = final.filter((F.col("pred") == woc + "hasArgumentType")
+                             & F.col("obj").isin(list(class_iris)))
+    assert not surviving.isEmpty()

@@ -206,6 +206,19 @@ def _q_fingerprint(spark, sf_dir):
                        doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
+def _q_bpe_token_stats(spark, sf_dir):
+    """BPE-ish tokenizer stats (GPT-2-style pre-tokenizer regex, the brief's
+    'token counting: whitespace + a BPE-ish regex'); expression-only."""
+    from codeontologypython_spark.functions.textops import (
+        bpe_token_count, bytes_per_token, token_count)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        bytes_per_token(F.col("text")).alias("bytes_per_token"))
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     from codeontologypython_spark.functions.dedup import ngram_jaccard_pairs
     docs = _t(spark, sf_dir, "documents")
@@ -356,6 +369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_chain": _q_event_chain,
         "q_dedup_exact": _q_dedup_exact,
         "q_token_stats": _q_token_stats,
+        "q_bpe_token_stats": _q_bpe_token_stats,
         "q_lang_id": _q_lang_id,
         "q_fingerprint": _q_fingerprint,
         "q_ngram_jaccard": _q_ngram_jaccard,
@@ -580,6 +594,17 @@ def oracle_sql() -> dict[str, str]:
                            / len(toks) < 0.5 THEN 1 ELSE 0 END
                     + CASE WHEN punct > 0 THEN 1 ELSE 0 END) AS quality_score
             FROM t""",
+        "q_bpe_token_stats": f"""
+            SELECT doc_id,
+                   len({_TOKS}) AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\\s]'))
+                     AS n_bpe_tokens,
+                   length(text)::DOUBLE
+                     / len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\\s]'))
+                     AS bytes_per_token
+            FROM documents""",
         "q_lang_id": f"""
             WITH t AS (SELECT {_TOKS} AS toks FROM documents)
             SELECT CASE WHEN len(list_filter(toks, x -> lower(x) IN {_SW_SQL}))::DOUBLE

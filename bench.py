@@ -38,7 +38,10 @@ HEADLINE = [
 
 KG_FILES = int(os.environ.get("SPARK_GRAFT_KG_FILES", "12000"))
 KG_UNITS = int(os.environ.get("SPARK_GRAFT_KG_UNITS", "40"))
-KG_REPEATS = int(os.environ.get("SPARK_GRAFT_KG_REPEATS", "2"))
+# 3 repeats: the full-job level (Arrow egress through local mode's single
+# shared JVM) shows 1.5x run-to-run spread at 32 cores (367-562 files/s
+# observed on identical code); best-of-3 recovers the uncontended rate
+KG_REPEATS = int(os.environ.get("SPARK_GRAFT_KG_REPEATS", "3"))
 
 
 def _noop_write(df):

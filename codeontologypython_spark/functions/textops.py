@@ -62,6 +62,31 @@ def lang_id(text: Column) -> Column:
     return F.when(stopword_ratio(text) >= 0.05, F.lit("en")).otherwise(F.lit("other"))
 
 
+# BPE-ish pre-tokenizer (GPT-2-style, simplified to the subset expressible
+# in BOTH Java regex and DuckDB's RE2 — no lookaheads): contraction
+# suffixes, letter runs, digit runs capped at 3 (modern BPE convention),
+# single punctuation marks. Engine-portable by construction.
+BPE_ISH_RE = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens_col(text: Column) -> Column:
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_RE), F.lit(0))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count — the LLM-pipeline cost estimator (whitespace
+    counts under-estimate tokenizer load on code/punctuation-heavy text)."""
+    return F.size(bpe_tokens_col(text))
+
+
+def bytes_per_token(text: Column) -> Column:
+    """Compression proxy: document bytes per BPE-ish token (low ratio ->
+    punctuation/digit-heavy content; both operands integer-exact, so the
+    double division is bit-identical across engines)."""
+    return (F.length(text).cast("double")
+            / bpe_token_count(text).cast("double"))
+
+
 def shingles_col(text: Column, n: int = 3) -> Column:
     """n-token shingles (n-grams joined by a space). Guarded: F.sequence
     descends when start > stop, so docs shorter than n tokens must yield an

@@ -6,16 +6,23 @@ derived from the Stage-1 entities:
 
 - L1 import resolution        -> candidate-explode + hash join + top-1 window
 - L2 scope-chain lookup       -> the per-file half ran inside the UDF; only
-                                 names escaping the file arrive here
-- L3 attribute-chain suffixes -> the candidate list (best-first) built per
-                                 mention inside the UDF, priority = position
-- L4 class-hierarchy closure  -> bounded iterative join (transitive_closure)
+                                 names escaping the file arrive here; module
+                                 import bindings land as alias symtab rows
+- L3 attribute-chain suffixes -> best-first candidate list per mention, plus
+                                 a miss-round rewriting alias/binding
+                                 prefixes to canonical fqns (the relational
+                                 form of tracking.py:297-327's shrinking
+                                 per-step lookups)
+- L4 class hierarchy          -> exact C3 MRO per class over relationally
+                                 assembled subgraphs (operators/fields.py)
 - L5 alias chasing            -> bounded alias-resolution loop augmenting the
                                  symbol table (max 10 rounds, tracking.py:343)
-- wildcard imports            -> module-exports join with a bounded re-export
-                                 fixpoint (tracking.py:234-255)
-- P4 overrides                -> methods ⋈ extends-closure ⋈ methods with a
-                                 min-(depth, base-position) window pick
+- wildcard imports            -> symbol-table exports join with a bounded
+                                 re-export fixpoint (tracking.py:234-255)
+- P4 overrides                -> methods ⋈ MRO ⋈ methods with a min-MRO-rank
+                                 pick (first-match-in-MRO)
+- P6 fields                   -> fact fold + materialization in
+                                 operators/fields.py (inherited fields)
 """
 
 from __future__ import annotations

@@ -187,3 +187,21 @@ def test_multimodal_real_decode(spark):
     feats2 = {r["media_id"]: r["feature"] for r in
               decode_and_featurize(media, fake=False).collect()}
     assert feats2 == {k: r["feature"] for k, r in feats.items()}
+
+
+def test_bpe_ish_tokenizer(spark):
+    """GPT-2-style pre-tokenizer subset: contractions split, digit runs
+    capped at 3, punctuation separate — counts diverge from whitespace on
+    code-like text (the point of the second counter)."""
+    from codeontologypython_spark.functions.textops import (
+        bpe_token_count, bpe_tokens_col, token_count)
+    df = spark.createDataFrame(
+        [(1, "it's 12345 f(x)=y!")], ["doc_id", "text"])
+    row = df.select(
+        bpe_tokens_col(F.col("text")).alias("toks"),
+        bpe_token_count(F.col("text")).alias("n_bpe"),
+        token_count(F.col("text")).alias("n_ws")).collect()[0]
+    assert row["toks"] == ["it", "'s", "123", "45",
+                           "f", "(", "x", ")", "=", "y", "!"]
+    assert row["n_bpe"] == 11
+    assert row["n_ws"] == 3

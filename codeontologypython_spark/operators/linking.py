@@ -330,9 +330,22 @@ def resolve_overrides(entities: DataFrame, triples: DataFrame,
         F.col("anc_method").alias("obj"), F.lit(False).alias("obj_is_literal"))
 
 
+# above this many symbol-table rows the broadcast stops paying (≈ the
+# autoBroadcastJoinThreshold at ~100 B/row) and hub-symbol skew starts to
+# matter: switch to the salted shuffle join (north_star: "broadcast of the
+# project-level symbol table AND salted hash joins to defuse skew")
+_AUTO_BROADCAST_MAX_ROWS = 2_000_000
+_AUTO_SALT = 16
+
+
 def link_stage(entities: DataFrame, triples: DataFrame, mentions: DataFrame,
-               broadcast_symtab: bool = True, salt: int = 0):
+               broadcast_symtab: bool | str = "auto", salt: int = 0):
     """Full Stage 2.
+
+    ``broadcast_symtab="auto"`` (default) broadcasts the symbol table when it
+    is small and falls back to the salted shuffle join beyond
+    ``_AUTO_BROADCAST_MAX_ROWS`` — at corpus scale (10^8+ fqns) the salted
+    path IS the default; the sandbox fixture corpora always broadcast.
 
     Returns ``(resolved, extra_entities, base_triples)``:
     - ``resolved``: mention-resolution + override + wildcard + Field triples
@@ -350,6 +363,12 @@ def link_stage(entities: DataFrame, triples: DataFrame, mentions: DataFrame,
 
     symtab = build_symbol_table(entities)
     symtab = chase_aliases(symtab, mentions)
+    if broadcast_symtab == "auto":
+        n_sym = symtab.count()
+        if n_sym > _AUTO_BROADCAST_MAX_ROWS:
+            broadcast_symtab, salt = False, (salt or _AUTO_SALT)
+        else:
+            broadcast_symtab = True
     # alias map for the L3 suffix round: the chased alias/binding rows,
     # mapped to their target entity's canonical fqn. The miss-round costs a
     # materialization of the candidate join, so skip it entirely when no

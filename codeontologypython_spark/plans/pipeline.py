@@ -61,7 +61,7 @@ def run_pipeline(
     resume: bool = False,
     root_repos: list[str] | None = None,
     write_nt: bool = True,
-    broadcast_symtab: bool = True,
+    broadcast_symtab: bool | str = "auto",
     salt: int = 0,
 ) -> PipelineResult:
     t0 = time.time()

@@ -25,7 +25,9 @@ def main(argv=None):
     p.add_argument("--roots", default=None,
                    help="comma-separated root repos for import-closure pruning")
     p.add_argument("--salt", type=int, default=0,
-                   help="salt factor for the symbol-table join (0 = broadcast)")
+                   help="salt factor for the symbol-table join "
+                        "(0 = auto: broadcast when small, salted beyond "
+                        "2M symbols)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -39,7 +41,7 @@ def main(argv=None):
         resume=args.resume,
         root_repos=args.roots.split(",") if args.roots else None,
         write_nt=args.nt,
-        broadcast_symtab=args.salt == 0,
+        broadcast_symtab="auto" if args.salt == 0 else False,
         salt=args.salt)
     print(json.dumps({
         "triples": res.n_triples,

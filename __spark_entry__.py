@@ -244,6 +244,16 @@ def _q_knn_cosine(spark, sf_dir):
     return cosine_topk(emb, queries, k=5)
 
 
+def _q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: sign-LSH bucket self-join +
+    exact cosine confirm (the 100TB-path shape — never all-pairs)."""
+    from codeontologypython_spark.functions.similarity import (
+        embedding_near_dup_pairs)
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.2, dim=64, n_planes=4,
+                                    seed=7)
+
+
 def _q_simhash_pairs(spark, sf_dir):
     from codeontologypython_spark.functions.dedup import simhash_near_dup_pairs
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -377,6 +387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh": _q_minhash_lsh,
         "q_knn_cosine": _q_knn_cosine,
         "q_simhash_pairs": _q_simhash_pairs,
+        "q_embedding_near_dup": _q_embedding_near_dup,
         "q_lsh_ann": _q_lsh_ann,
         "kg_library_names": _kg_library_names,
         "kg_sql_library_listing": _kg_sql_library_listing,
@@ -402,9 +413,11 @@ _SHINGLES = (
 
 
 def _mh_expr(k: int) -> str:
-    sh = _SHINGLES.format(t="t")
-    return (f"list_min(list_transform({sh}, "
-            f"s -> ('0x' || substr(md5('{k}:' || s), 1, 8))::BIGINT)) AS mh_{k}")
+    # mirrors dedup.minhash_signature: one md5 base per shingle, affine
+    # variants (A_k*base + B_k) mod 2^31-1 (see dedup._MH_A/_MH_B/_MH_P)
+    from codeontologypython_spark.functions.dedup import _MH_A, _MH_B, _MH_P
+    return (f"list_min(list_transform(bases, "
+            f"h -> ({_MH_A[k]} * h + {_MH_B[k]}) % {_MH_P})) AS mh_{k}")
 
 
 def _simhash_sql() -> str:
@@ -452,8 +465,12 @@ def oracle_sql() -> dict[str, str]:
     sig_cte = (
         "WITH toks AS (SELECT doc_id AS doc, "
         f"{_TOKS} AS t FROM documents),\n"
+        "base AS (SELECT doc, list_transform("
+        + _SHINGLES.format(t="t")
+        + ", s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS bases\n"
+        "  FROM toks WHERE len(t) >= 3),\n"
         "sig AS (SELECT doc,\n  " + mh_cols + "\n"
-        "  FROM toks WHERE len(t) >= 3)")
+        "  FROM base)")
     bands = " UNION ALL ".join(
         f"SELECT doc, {b} AS band, mh_{2*b}::VARCHAR || '_' || "
         f"mh_{2*b+1}::VARCHAR AS key FROM sig" for b in range(4))
@@ -479,6 +496,25 @@ def oracle_sql() -> dict[str, str]:
     _bucket = " + ".join(
         f"(CASE WHEN {_plane_dot('v', p)} > 0 THEN {1 << j} ELSE 0 END)"
         for j, p in enumerate(_planes))
+
+    _raw_cos = (
+        "list_sum(list_transform(range(1, len(qv)+1), i -> qv[i] * cv[i]))"
+        " / (sqrt(list_sum(list_transform(qv, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(cv, x -> x * x))))")
+    _nd_planes = _hyperplanes(64, 4, 7)
+    _nd_bucket = " + ".join(
+        f"(CASE WHEN {_plane_dot('v', p)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(_nd_planes))
+    embedding_near_dup_sql = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, ({_nd_bucket}) AS bucket FROM e),
+        p AS (SELECT a.vec_id AS doc_a, b2.vec_id AS doc_b,
+                     a.v AS qv, b2.v AS cv
+              FROM b a JOIN b b2 ON a.bucket = b2.bucket
+                                AND a.vec_id < b2.vec_id),
+        s AS (SELECT doc_a, doc_b, {_raw_cos} AS rawcos FROM p)
+        SELECT doc_a, doc_b, round(rawcos, 4) AS cos
+        FROM s WHERE rawcos >= 0.2"""
     lsh_ann_sql = f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         b AS (SELECT vec_id, v, ({_bucket}) AS bucket FROM e),
@@ -643,6 +679,7 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_signature": sig_cte + "\nSELECT * FROM sig",
         "q_simhash_pairs": _simhash_sql(),
         "q_lsh_ann": lsh_ann_sql,
+        "q_embedding_near_dup": embedding_near_dup_sql,
         "q_minhash_lsh": sig_cte + f""",
             bands AS ({bands}),
             cand AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b

@@ -88,26 +88,55 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .select("doc_a", "doc_b", "jaccard"))
 
 
+# affine universal-hash family over ONE md5 base hash per shingle:
+# h_k(s) = (A_k * base(s) + B_k) mod P with base < 2^32, A_k < 2^29, so the
+# product stays under 2^61 — overflow-safe in BOTH Java longs and DuckDB's
+# checked BIGINT arithmetic. One md5 per shingle instead of K (the md5 was
+# ~85% of signature cost at K=8). P must be far below the product range so
+# the map WRAPS (a non-wrapping affine map is monotone — every h_k would
+# share one argmin shingle and the signature would degenerate).
+_MH_P = 2147483647  # 2^31 - 1 (Mersenne)
+_MH_A = [268435399, 268435367, 268435361, 268435337,
+         268435331, 268435313, 268435291, 268435273]  # primes < 2^29
+_MH_B = [1000003, 2000029, 3000073, 4000037,
+         5000011, 6000011, 7000003, 8000009]
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3,
                       num_hashes: int = 8) -> DataFrame:
     """K-permutation MinHash signature as K columns mh_0..mh_{K-1}.
-    Hash_k(s) = int(md5(k ':' s)[:8], 16) — portable to the SQL oracle."""
+    base(s) = int(md5(s)[:8], 16); h_k = (A_k*base + B_k) mod (2^31-1) —
+    bit-identical in the SQL oracle.
+
+    The whole signature is ONE array-aggregate pass (elementwise min of the
+    K affine variants, folded over the shingle base hashes), materialized
+    via localCheckpoint BEFORE splitting into columns: Catalyst's
+    CollapseProject would otherwise inline the fold into every mh_k column
+    and evaluate the md5s K times."""
+    assert num_hashes <= len(_MH_A)
     sh = F.array_distinct(shingles_col(F.col(text_col), n))
-    out = df.select(F.col(id_col).alias("doc"), sh.alias("shingles")) \
-            .filter(F.size("shingles") > 0)
+    a_arr = F.array(*[F.lit(a) for a in _MH_A[:num_hashes]])
+    b_arr = F.array(*[F.lit(b) for b in _MH_B[:num_hashes]])
+    init = F.array_repeat(F.lit(_MH_P + 1).cast("long"), num_hashes)
 
-    # NOTE: the lambda must be unary — PySpark gives a 2-arg higher-order
-    # lambda the element INDEX as its second argument, so default-arg k
-    # binding would silently hash the wrong string
-    def mh(k: int):
-        return F.array_min(F.transform(
-            F.col("shingles"),
-            lambda s: hash_hex_prefix_to_long(F.concat(F.lit(f"{k}:"), s))))
+    def step(acc, s):
+        base = hash_hex_prefix_to_long(s)
+        variants = F.zip_with(
+            a_arr, b_arr, lambda a, b: (a * base + b) % F.lit(_MH_P))
+        return F.zip_with(acc, variants, lambda x, y: F.least(x, y))
 
-    for k in range(num_hashes):
-        out = out.withColumn(f"mh_{k}", mh(k))
-    return out.drop("shingles")
+    mins = F.aggregate(sh, init, step)
+    packed = (df.select(F.col(id_col).alias("doc"), mins.alias("mins"))
+              .localCheckpoint())
+    # a shingle-less doc never updated the fold: its mins are still the
+    # (P+1) sentinel — drop it AFTER materialization (a pre-checkpoint
+    # filter would get pushed into the projection and re-run the fold)
+    return (packed
+            .filter(F.element_at("mins", 1) != _MH_P + 1)
+            .select("doc", *[
+                F.element_at("mins", k + 1).alias(f"mh_{k}")
+                for k in range(num_hashes)]))
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
@@ -117,8 +146,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     """LSH banding: split the signature into ``bands`` bands of r rows; docs
     colliding in any band become candidates; candidates are confirmed by
     estimated Jaccard = fraction of equal signature components."""
-    # sig feeds three joins (bucketing + both confirmation sides) —
-    # materialize once instead of recomputing 8 minhash columns per branch
+    # bucket rows CARRY the signature, so the band self-join confirms
+    # est-Jaccard inline — one shuffle of (doc, sig, band, key) instead of a
+    # candidate-distinct shuffle plus two signature re-joins; the threshold
+    # filter runs before the pair-dedup distinct, shrinking that shuffle too
     sig = minhash_signature(df, text_col, id_col, n, num_hashes).localCheckpoint()
     r = num_hashes // bands
     band_cols = [
@@ -126,25 +157,26 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                  F.concat_ws("_", *[F.col(f"mh_{b * r + i}")
                                     for i in range(r)]).alias("key"))
         for b in range(bands)]
-    buckets = (sig.select("doc", F.explode(F.array(*band_cols)).alias("bk"))
-               .select("doc", "bk.band", "bk.key"))
-    cand = (buckets.alias("x").join(
-        buckets.alias("y"), ["band", "key"])
-        .filter(F.col("x.doc") < F.col("y.doc"))
-        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
-        .distinct())
-    sa = sig.select(*[F.col(c).alias(f"a_{c}") for c in sig.columns])
-    sb = sig.select(*[F.col(c).alias(f"b_{c}") for c in sig.columns])
+    buckets = (sig.select("doc", *[f"mh_{k}" for k in range(num_hashes)],
+                          F.explode(F.array(*band_cols)).alias("bk"))
+               .select("doc", *[f"mh_{k}" for k in range(num_hashes)],
+                       "bk.band", "bk.key"))
+    x = buckets.select(F.col("doc").alias("doc_a"), "band", "key",
+                       *[F.col(f"mh_{k}").alias(f"a_mh_{k}")
+                         for k in range(num_hashes)])
+    y = buckets.select(F.col("doc").alias("doc_b"), "band", "key",
+                       *[F.col(f"mh_{k}").alias(f"b_mh_{k}")
+                         for k in range(num_hashes)])
     est = None
     for k in range(num_hashes):
         term = (F.col(f"a_mh_{k}") == F.col(f"b_mh_{k}")).cast("int")
         est = term if est is None else est + term
-    return (cand
-            .join(sa, cand["doc_a"] == sa["a_doc"])
-            .join(sb, cand["doc_b"] == sb["b_doc"])
+    return (x.join(y, ["band", "key"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
             .withColumn("est_jaccard", est.cast("double") / num_hashes)
             .filter(F.col("est_jaccard") >= threshold)
-            .select("doc_a", "doc_b", "est_jaccard"))
+            .select("doc_a", "doc_b", "est_jaccard")
+            .distinct())
 
 
 def simhash64(text: Column) -> Column:

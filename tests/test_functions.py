@@ -42,10 +42,13 @@ def test_minhash_vs_pure_python(docs):
     from codeontologypython_spark.functions.dedup import minhash_signature
 
     def py_minhash(text, k):
+        from codeontologypython_spark.functions.dedup import (
+            _MH_A, _MH_B, _MH_P)
         toks = [t for t in text.split() if t]
         shingles = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
-        return min(int(hashlib.md5(f"{k}:{s}".encode()).hexdigest()[:8], 16)
-                   for s in shingles)
+        bases = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                 for s in shingles]
+        return min((_MH_A[k] * b + _MH_B[k]) % _MH_P for b in bases)
 
     rows = {r["doc"]: r for r in minhash_signature(docs).collect()}
     assert 4 not in rows  # too short for a shingle

@@ -244,6 +244,18 @@ def _q_knn_cosine(spark, sf_dir):
     return cosine_topk(emb, queries, k=5)
 
 
+def _q_ivf_ann(spark, sf_dir):
+    """IVF ANN: deterministic mini-k-means coarse quantizer + nprobe cell
+    probing (the inverted-file alternative to sign-LSH; brief: 'an IVF or
+    LSH-bucketed variant as the scale path'). The oracle reproduces the SAME
+    two Lloyd iterations in SQL (rounded centroid means make the floating-
+    point trajectory engine-portable)."""
+    from codeontologypython_spark.functions.similarity import ivf_ann_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_ann_topk(emb, queries, k=5, n_cells=8, iters=2, nprobe=2)
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs: sign-LSH bucket self-join +
     exact cosine confirm (the 100TB-path shape — never all-pairs)."""
@@ -388,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_cosine": _q_knn_cosine,
         "q_simhash_pairs": _q_simhash_pairs,
         "q_embedding_near_dup": _q_embedding_near_dup,
+        "q_ivf_ann": _q_ivf_ann,
         "q_lsh_ann": _q_lsh_ann,
         "kg_library_names": _kg_library_names,
         "kg_sql_library_listing": _kg_sql_library_listing,
@@ -501,6 +514,55 @@ def oracle_sql() -> dict[str, str]:
         "list_sum(list_transform(range(1, len(qv)+1), i -> qv[i] * cv[i]))"
         " / (sqrt(list_sum(list_transform(qv, x -> x * x)))"
         " * sqrt(list_sum(list_transform(cv, x -> x * x))))")
+    def _ivf_sql(n_cells=8, iters=2, nprobe=2, k=5) -> str:
+        """Mini k-means (Lloyd) + IVF probe entirely in SQL, mirroring
+        similarity.ivf_ann_topk step for step: same init (smallest ids),
+        same (dist, cell) tie order, same rounded centroid means."""
+        dist = ("list_sum(list_transform(range(1, 65), "
+                "i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))")
+        blocks = [
+            "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+            f"c0 AS (SELECT vec_id AS cell, v AS cv FROM e "
+            f"WHERE vec_id < {n_cells})",
+        ]
+        prev = "c0"
+        for it in range(1, iters + 1):
+            blocks += [
+                f"a{it} AS (SELECT vec_id, v, cell FROM ("
+                f"  SELECT e.vec_id, e.v, c.cell, row_number() OVER ("
+                f"    PARTITION BY e.vec_id ORDER BY {dist}, c.cell) AS rn"
+                f"  FROM e, {prev} c) WHERE rn = 1)",
+                f"u{it} AS (SELECT cell, i, round(avg(v[i]), 6) AS m"
+                f"  FROM a{it}, (SELECT unnest(range(1, 65)) AS i)"
+                f"  GROUP BY cell, i)",
+                f"n{it} AS (SELECT cell, list(m ORDER BY i) AS cv"
+                f"  FROM u{it} GROUP BY cell)",
+                f"c{it} AS (SELECT * FROM n{it} UNION ALL"
+                f"  SELECT cell, cv FROM {prev}"
+                f"  WHERE cell NOT IN (SELECT cell FROM n{it}))",
+            ]
+            prev = f"c{it}"
+        blocks += [
+            f"idx AS (SELECT vec_id AS neighbor_id, v AS cv2, cell FROM ("
+            f"  SELECT e.vec_id, e.v, c.cell, row_number() OVER ("
+            f"    PARTITION BY e.vec_id ORDER BY {dist}, c.cell) AS rn"
+            f"  FROM e, {prev} c) WHERE rn = 1)",
+            f"qp AS (SELECT query_id, qv, cell FROM ("
+            f"  SELECT e.vec_id AS query_id, e.v AS qv, c.cell,"
+            f"    row_number() OVER ("
+            f"    PARTITION BY e.vec_id ORDER BY {dist}, c.cell) AS rn"
+            f"  FROM e, {prev} c WHERE e.vec_id < 10) WHERE rn <= {nprobe})",
+            "s AS (SELECT query_id, neighbor_id, qv, cv2 AS cv"
+            "  FROM qp JOIN idx USING (cell)"
+            "  WHERE neighbor_id <> query_id)",
+            f"sc AS (SELECT query_id, neighbor_id, {cos_expr} AS cos FROM s)",
+        ]
+        return ("WITH " + ",\n".join(blocks) + f"""
+            SELECT query_id, neighbor_id, cos, rank FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+                AS rank FROM sc) WHERE rank <= {k}""")
+
     _nd_planes = _hyperplanes(64, 4, 7)
     _nd_bucket = " + ".join(
         f"(CASE WHEN {_plane_dot('v', p)} > 0 THEN {1 << j} ELSE 0 END)"
@@ -680,6 +742,7 @@ def oracle_sql() -> dict[str, str]:
         "q_simhash_pairs": _simhash_sql(),
         "q_lsh_ann": lsh_ann_sql,
         "q_embedding_near_dup": embedding_near_dup_sql,
+        "q_ivf_ann": _ivf_sql(),
         "q_minhash_lsh": sig_cte + f""",
             bands AS ({bands}),
             cand AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b

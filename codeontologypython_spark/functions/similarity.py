@@ -99,6 +99,90 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "neighbor_id", "cos", "rank"))
 
 
+def _sq_dist(vec: Column, cent: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in cent])
+    return F.aggregate(F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def ivf_centroids(corpus: DataFrame, n_cells: int = 8, iters: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  round_digits: int = 6) -> list[list[float]]:
+    """Deterministic mini k-means (Lloyd) for the IVF coarse quantizer.
+
+    Init = the ``n_cells`` vectors with the smallest ids; each iteration is
+    one assignment scan (argmin squared-L2 against centroid LITERALS — no
+    shuffle, whole-stage codegen) plus a per-(cell, dim) mean aggregation
+    whose result (n_cells x dim doubles) collects to the driver and becomes
+    the next round's literals. Means are rounded so the engine-portable SQL
+    oracle reproduces the exact same centroids despite summation-order ulps.
+    """
+    first = (corpus.orderBy(id_col).limit(n_cells)
+             .select(F.col(vec_col).cast("array<double>").alias("v"))
+             .collect())
+    cents = [list(r["v"]) for r in first]
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = corpus.select(
+            F.col(vec_col).cast("array<double>").alias("v"),
+            _assign_cell(F.col(vec_col).cast("array<double>"), cents)
+            .alias("cell"))
+        stats = (assigned
+                 .select("cell", F.posexplode("v").alias("dim", "x"))
+                 .groupBy("cell", "dim")
+                 .agg(F.round(F.avg("x"), round_digits).alias("m"))
+                 .collect())
+        new = {c: [None] * dim for c in {r["cell"] for r in stats}}
+        for r in stats:
+            new[r["cell"]][r["dim"]] = r["m"]
+        # cells that lost all members keep their previous centroid
+        cents = [new.get(j, cents[j]) for j in range(n_cells)]
+    return cents
+
+
+def _assign_cell(vec: Column, cents: list[list[float]]) -> Column:
+    """argmin over centroid literals; ties break on the cell index (the SQL
+    oracle orders by (dist, cell) identically)."""
+    best = F.least(*[
+        F.struct(_sq_dist(vec, c).alias("d"), F.lit(j).alias("cell"))
+        for j, c in enumerate(cents)])
+    return best["cell"]
+
+
+def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                 n_cells: int = 8, iters: int = 2, nprobe: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 round_digits: int = 4) -> DataFrame:
+    """IVF approximate top-k: coarse k-means quantizer partitions the corpus
+    into cells; each query probes only its ``nprobe`` nearest cells and runs
+    exact cosine inside them — the inverted-file alternative to sign-LSH
+    bucketing (at scale the corpus is written partitioned/bucketed by cell,
+    so probes are partition-pruned scans, never full passes)."""
+    cents = ivf_centroids(corpus, n_cells, iters, id_col, vec_col)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("cv"))
+    c = c.withColumn("cell", _assign_cell(F.col("cv"), cents))
+    dists = F.array(*[
+        F.struct(_sq_dist(F.col("qv"), cent).alias("d"),
+                 F.lit(j).alias("cell"))
+        for j, cent in enumerate(cents)])
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).cast("array<double>").alias("qv"))
+         .withColumn("probe", F.explode(F.slice(F.array_sort(dists),
+                                                1, nprobe)))
+         .select("query_id", "qv", F.col("probe.cell").alias("cell")))
+    scored = (q.join(c, "cell")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")),
+                                         round_digits)))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos", "rank"))
+
+
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.98,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",

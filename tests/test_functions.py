@@ -208,3 +208,26 @@ def test_bpe_ish_tokenizer(spark):
                            "f", "(", "x", ")", "=", "y", "!"]
     assert row["n_bpe"] == 11
     assert row["n_ws"] == 3
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    """IVF: deterministic mini-k-means cells + nprobe probing; recall against
+    exact top-k, exact cosine within probed cells, deterministic across
+    runs (seeded by smallest-id init)."""
+    from codeontologypython_spark.functions.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, q, k=5)
+    approx = ivf_ann_topk(emb, q, k=5, n_cells=8, iters=2, nprobe=2)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a1 = approx.collect()
+    a = {(r["query_id"], r["neighbor_id"]) for r in a1}
+    assert len(e & a) / len(e) >= 0.2  # coarse cells, random vectors
+    a2 = {(r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+          for r in ivf_ann_topk(emb, q, k=5, n_cells=8, iters=2,
+                                nprobe=2).collect()}
+    assert a2 == {(r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+                  for r in a1}

@@ -156,6 +156,28 @@ def _q_transitive_closure(spark, sf_dir):
     return transitive_closure(edges)
 
 
+def _q_sessionize(spark, sf_dir):
+    """Sessionization: per-user event stream split at inactivity gaps > 1800s
+    (lag + conditional cumsum — the batch form of a session window; the
+    streaming form is applyInPandasWithState over the same key)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact integers: DuckDB's epoch() is a rounding DOUBLE
+    # while a Spark long cast truncates — epoch_us/unix_micros agree exactly
+    tsl = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = tsl - F.lag(tsl).over(w)
+    with_flag = ev.select(
+        "user_id", "event_id", tsl.alias("tsl"),
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1)
+        .otherwise(0).alias("new_sess"))
+    w2 = (Window.partitionBy("user_id").orderBy("tsl", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    sess = with_flag.withColumn("session_id", F.sum("new_sess").over(w2))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 (F.max("tsl") - F.min("tsl")).alias("duration_us")))
+
+
 def _q_event_chain(spark, sf_dir):
     """P10's statement-chain window as a relational query: per-user event
     sequence position + next-event link (row_number + lead)."""
@@ -389,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_posexplode": _q_posexplode,
         "q_transitive_closure": _q_transitive_closure,
         "q_event_chain": _q_event_chain,
+        "q_sessionize": _q_sessionize,
         "q_dedup_exact": _q_dedup_exact,
         "q_token_stats": _q_token_stats,
         "q_bpe_token_stats": _q_bpe_token_stats,
@@ -672,6 +695,23 @@ def oracle_sql() -> dict[str, str]:
                    lead(event_id) OVER w AS next_event_id
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        "q_sessionize": """
+            WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS tsl,
+                              CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                                     OR epoch_us(ts)
+                                        - lag(epoch_us(ts)) OVER w > 1800000000
+                                   THEN 1 ELSE 0 END AS new_sess
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id)),
+            s AS (SELECT user_id, event_id, tsl,
+                         SUM(new_sess) OVER (
+                             PARTITION BY user_id ORDER BY tsl, event_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+                  FROM g)
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   MAX(tsl) - MIN(tsl) AS duration_us
+            FROM s GROUP BY user_id, session_id""",
         "q_dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, md5(text) AS content_md5,
                    COUNT(*) AS dup_count

@@ -181,3 +181,23 @@ def test_argless_ptype_degrades_to_generic(spark):
     surviving = final.filter((F.col("pred") == woc + "hasArgumentType")
                              & F.col("obj").isin(list(class_iris)))
     assert not surviving.isEmpty()
+
+
+def test_vocabulary_conformance(final_triples):
+    """SURVEY §1.3: the output graph conforms to the fixed OWL vocabulary —
+    every predicate and every rdf:type object is a declared woc/rdf/owl
+    term (the relational form of the reference's fixed-ontology guarantee)."""
+    from pyspark.sql import functions as F
+    from codeontologypython_spark import woc
+    allowed_preds = (set(woc.PROP.values()) | set(woc.DPROP.values())
+                     | set(woc.INVERSE.values())
+                     | {woc.RDF_TYPE, woc.OWL_SAME_AS})
+    preds = {r["pred"] for r in
+             final_triples.select("pred").distinct().collect()}
+    assert preds <= allowed_preds, preds - allowed_preds
+
+    allowed_types = set(woc.CLS.values())
+    types = {r["obj"] for r in final_triples
+             .filter(F.col("pred") == woc.RDF_TYPE)
+             .select("obj").distinct().collect()}
+    assert types <= allowed_types, types - allowed_types

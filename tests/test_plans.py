@@ -68,3 +68,18 @@ def test_triple_table_partition_pruning(spark, final_triples, tmp_path):
     plan = _plan(df)
     assert "PartitionFilters: [isnotnull(repo_bucket" in plan \
         or "repo_bucket#" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """Every registered query must avoid cartesian/broadcast-nested-loop
+    joins — except q_knn_cosine, whose crossJoin IS the documented exactness
+    baseline (the scale paths are q_lsh_ann / q_ivf_ann)."""
+    import __spark_entry__ as entry_mod
+    bad = []
+    for name, fn in entry_mod.queries().items():
+        if name.startswith("kg_") or name == "q_knn_cosine":
+            continue  # kg_* share the cached pipeline result; knn documented
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            bad.append(name)
+    assert bad == [], bad

@@ -87,7 +87,10 @@ def select_import_closure(src_df: DataFrame, root_repos: list[str],
         hit = (catalog.join(targets,
                             catalog["module_fqn"] == targets["target_fqn"])
                .select("repo", "path"))
-        new = hit.join(selected, ["repo", "path"], "left_anti").distinct()
+        # per-round materialization: without it the selected/frontier lineage
+        # compounds quadratically over rounds (CLAUDE.md pitfall #4)
+        new = (hit.join(selected, ["repo", "path"], "left_anti").distinct()
+               .localCheckpoint())
         if new.isEmpty():
             break
         selected = selected.unionByName(new)

@@ -354,6 +354,20 @@ def test_relative_import_resolution():
     assert "pkg_a.mod2.helper" in cands
 
 
+def test_relative_import_deep_and_init():
+    # level-2 from a nested module: a/b/c.py 'from ..x import y' -> a.x.y
+    _, _, m = _run("from ..x import y\n", repo="r", path="a/b/c.py")
+    cands = {x["candidates"][0] for x in m if x["kind"] == "import"}
+    assert "a.x.y" in cands
+    # __init__ counts as the package itself: pkg/__init__.py
+    # 'from . import mod' -> pkg.mod; 'from .sub import f' -> pkg.sub.f
+    _, _, m2 = _run("from . import mod\nfrom .sub import f\n",
+                    repo="r", path="pkg/__init__.py")
+    cands2 = {x["candidates"][0] for x in m2 if x["kind"] == "import"}
+    assert "pkg.mod" in cands2
+    assert "pkg.sub.f" in cands2
+
+
 def test_field_facts_discovery():
     """Stage-1 half of track_fields (tracking.py:613-835): ordered per-class
     facts; Field individuals are materialized in Stage 2 (operators/fields)."""

@@ -10,13 +10,10 @@
 
 from __future__ import annotations
 
-import math
 import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-from codeontologypython_spark.operators.relational import top1_per_group
 
 
 def dot(a: Column, b: Column) -> Column:

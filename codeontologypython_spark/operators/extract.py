@@ -24,8 +24,6 @@ Throughput notes (measured, see BASELINE.md):
 
 from __future__ import annotations
 
-from typing import Iterator
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 

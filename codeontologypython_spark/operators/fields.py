@@ -50,16 +50,6 @@ from codeontologypython_spark.operators.relational import transitive_closure
 WOC = woc.WOC
 RDF_TYPE = woc.RDF_TYPE
 
-# unified per-root input rows for the MRO/contribution UDF
-_GROUP_SCHEMA = T.StructType([
-    T.StructField("root", T.StringType(), False),
-    T.StructField("kind", T.StringType(), False),   # 'e' edge | 'c' class
-    T.StructField("a", T.StringType(), False),      # edge src / class eid
-    T.StructField("b", T.StringType(), True),       # edge dst / class name
-    T.StructField("pos", T.IntegerType(), True),    # base position
-    T.StructField("info", T.StringType(), True),    # ctorinfo raw
-])
-
 _OUT_SCHEMA = T.StructType([
     T.StructField("root", T.StringType(), False),
     T.StructField("out", T.StringType(), False),    # 'mro' | 'b' | 'c'

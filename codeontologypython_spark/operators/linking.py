@@ -27,7 +27,7 @@ derived from the Stage-1 entities:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from codeontologypython_spark.operators.relational import (

@@ -93,3 +93,67 @@ def test_incremental_supersede_changed_file(spark, tmp_path):
     # exactly one commit survives
     commits = {r["commit"] for r in final.select("commit").distinct().collect()}
     assert commits == {"commit-bbb"}
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    """Watermarked tumbling-window aggregation over a parquet event stream;
+    totals must equal the batch groupBy on the same data."""
+    src = str(tmp_path / "ev")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    from codeontologypython_spark.streaming.windows import run_windowed_counts
+    out = run_windowed_counts(spark, src, str(tmp_path / "ck"),
+                              query_name="wc_test")
+    got_total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert got_total == events.count()
+    # window math: every window is 10 minutes wide
+    widths = out.select(
+        (F.col("window_end").cast("long")
+         - F.col("window_start").cast("long")).alias("w")).distinct().collect()
+    assert {r["w"] for r in widths} == {600}
+
+
+def test_stateful_sessionizer_equals_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer == the batch q_sessionize fold on
+    the same events, with the stream split across micro-batches (state must
+    carry sessions over batch boundaries)."""
+    import __spark_entry__ as se
+
+    src = str(tmp_path / "ev2")
+    events = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+              .filter(F.col("user_id") < 20))
+    # two time-ordered waves -> two micro-batches (maxFilesPerTrigger=1)
+    cut = events.agg(F.expr(
+        "percentile(unix_micros(cast(ts as timestamp)), 0.5)")).collect()[0][0]
+    tsl = F.unix_micros(F.col("ts").cast("timestamp"))
+    w1 = events.filter(tsl <= cut)
+    w2 = events.filter(tsl > cut)
+    w1.coalesce(1).write.mode("overwrite").parquet(src)
+    import glob as g
+    part1 = sorted(g.glob(src + "/part-*"))[0]
+    import shutil
+    w2.coalesce(1).write.mode("overwrite").parquet(src + "_w2")
+    part2 = sorted(g.glob(src + "_w2/part-*"))[0]
+    # file order = arrival order: rename so wave 1 sorts first
+    shutil.copy(part1, src + "/wave-1.parquet")
+    shutil.copy(part2, src + "/wave-2.parquet")
+    import os
+    os.remove(part1)
+
+    from codeontologypython_spark.streaming.stateful import run_sessionize
+    got = run_sessionize(spark, src, str(tmp_path / "ck2"),
+                         query_name="sess_test")
+
+    # batch reference on the SAME filtered data (reuse the query's logic
+    # inline via a temp parquet dir)
+    ref_dir = str(tmp_path / "ref")
+    os.makedirs(ref_dir, exist_ok=True)
+    events.write.mode("overwrite").parquet(ref_dir + "/events.parquet")
+    batch = se.queries()["q_sessionize"](spark, ref_dir)
+
+    g1 = {(r["user_id"], r["session_id"]): (r["n_events"], r["duration_us"])
+          for r in got.collect()}
+    g2 = {(r["user_id"], r["session_id"]): (r["n_events"], r["duration_us"])
+          for r in batch.collect()}
+    assert g1 == g2

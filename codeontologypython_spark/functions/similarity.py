@@ -180,6 +180,54 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "neighbor_id", "cos", "rank"))
 
 
+def write_ann_index(corpus: DataFrame, path: str,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    dim: int = 16, n_planes: int = 6, seed: int = 42) -> None:
+    """Materialize the sign-LSH index as a bucket-PARTITIONED table — the
+    100TB serving shape: a probe reads only its bucket's files (partition
+    pruning), never the corpus. Repartition by bucket first so each bucket
+    directory gets one writer's files, not tasks x buckets fragments."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    (corpus
+     .withColumn("bucket", lsh_signature(F.col(vec_col), planes))
+     .repartition("bucket")
+     .write.mode("overwrite").partitionBy("bucket").parquet(path))
+
+
+def probe_ann_index(spark, path: str, queries: DataFrame, k: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    dim: int = 16, n_planes: int = 6, seed: int = 42,
+                    round_digits: int = 4) -> DataFrame:
+    """Top-k probe against a bucketed on-disk index: the query's bucket
+    signature becomes a PARTITION FILTER on the index scan — the physical
+    plan reads only the probed buckets' files. Results equal lsh_ann_topk
+    over the same corpus (same planes, same tie order)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    index = spark.read.parquet(path)
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"),
+                       lsh_signature(F.col(vec_col), planes).alias("bucket"))
+    # small query sets: collect the probed bucket ids so Catalyst turns them
+    # into a static IN partition filter (dynamic partition pruning handles
+    # the join form on a cluster; the explicit filter makes pruning visible
+    # and plan-testable in local mode)
+    buckets = [r["bucket"] for r in q.select("bucket").distinct().collect()]
+    pruned = index.filter(F.col("bucket").isin(buckets))
+    c = pruned.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv"), "bucket")
+    scored = (q.join(c, "bucket")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("cos", F.round(
+                  cosine(F.col("qv").cast("array<double>"),
+                         F.col("cv").cast("array<double>")), round_digits)))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos", "rank"))
+
+
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.98,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",

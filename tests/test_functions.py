@@ -231,3 +231,28 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
                                 nprobe=2).collect()}
     assert a2 == {(r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
                   for r in a1}
+
+
+def test_bucketed_ann_index_prunes_partitions(spark, tmp_path):
+    """The on-disk LSH index probe must (a) equal the in-memory lsh_ann_topk
+    results and (b) show partition pruning in the physical plan (the scan
+    reads only the probed buckets)."""
+    from codeontologypython_spark.functions.similarity import (
+        lsh_ann_topk,
+        probe_ann_index,
+        write_ann_index,
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ann_index")
+    write_ann_index(emb, path, dim=64, n_planes=4)
+
+    q = emb.filter(F.col("vec_id") < 5)
+    got = probe_ann_index(spark, path, q, k=5, dim=64, n_planes=4)
+    ref = lsh_ann_topk(emb, q, k=5, dim=64, n_planes=4)
+    cols = ["query_id", "neighbor_id", "cos", "rank"]
+    assert (got.select(cols).exceptAll(ref.select(cols)).count()
+            + ref.select(cols).exceptAll(got.select(cols)).count()) == 0
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the index scan must carry a non-empty partition filter on bucket
+    assert "PartitionFilters: [bucket" in plan

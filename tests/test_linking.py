@@ -276,3 +276,23 @@ def test_extension_stub_resolves_import(spark):
     # the stub's members are real entities (sqrt is a module-level function)
     assert not e.filter((F.col("fqn") == "math.sqrt")
                         & (F.col("kind") == "Function")).isEmpty()
+
+
+def test_salted_link_stage_equals_broadcast(extracted):
+    """The corpus-scale salted shuffle join must produce EXACTLY the triples
+    of the broadcast path (salting is a physical strategy, not a semantic
+    one) — end-to-end over the full fixture corpus, fields and overrides
+    included."""
+    e = extracted
+    b_res, b_ents, b_base = linking.link_stage(
+        e["entities"], e["triples"], e["mentions"], broadcast_symtab=True)
+    s_res, s_ents, s_base = linking.link_stage(
+        e["entities"], e["triples"], e["mentions"],
+        broadcast_symtab=False, salt=8)
+    cols = ["subj", "pred", "obj", "obj_is_literal"]
+    diff = (b_res.select(cols).exceptAll(s_res.select(cols)).count()
+            + s_res.select(cols).exceptAll(b_res.select(cols)).count())
+    assert diff == 0
+    ediff = (b_ents.select("eid").exceptAll(s_ents.select("eid")).count()
+             + s_ents.select("eid").exceptAll(b_ents.select("eid")).count())
+    assert ediff == 0

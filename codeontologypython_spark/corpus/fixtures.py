@@ -249,10 +249,15 @@ _PROJ_HUB["hub/core.py"] = (
     '    """A thing reachable through attribute chains."""\n'
     "\n"
     "    pass\n"
+    "\n\n"
+    "class HubError:\n"
+    '    """Re-exported through the facade module."""\n'
+    "\n"
+    "    pass\n"
 )
 _PROJ_HUB["hub/facade.py"] = (
-    '"""Facade module: re-exports hub_fn by name (binding row fixture)."""\n'
-    "from hub.core import hub_fn\n"
+    '"""Facade module: re-exports names (binding row fixture)."""\n'
+    "from hub.core import hub_fn, HubError\n"
 )
 _PROJ_HUB["hub/chains.py"] = (
     '"""Attribute chains through bound modules (tracking.py:297-327\n'
@@ -262,8 +267,8 @@ _PROJ_HUB["hub/chains.py"] = (
     "\n"
     "HC = hub.core\n"
     "\n\n"
-    "def use(x: HC.HubThing, f: facade.hub_fn):\n"
-    "    return f(x)\n"
+    "def use(x: HC.HubThing, e: facade.HubError):\n"
+    "    return x\n"
 )
 _PROJ_HUB["hub/base_exports.py"] = '"""Re-export base."""\nBASE_NAME = "base"\n'
 _PROJ_HUB["hub/re_exports.py"] = (

@@ -178,6 +178,13 @@ def resolve_mentions(mentions: DataFrame, symbol_table: DataFrame,
     # (priority, kind_rank, eid). Unlike a row_number window keyed by the
     # unique mention id, this aggregates map-side before the shuffle —
     # the shuffle carries one row per mention, not one per candidate hit.
+    # type and base mentions may only resolve to CLASSES — the reference's
+    # track_type_name_from_scope raises unless the match is a ClassDef
+    # (tracking.py:330-380 tail: `type(matched) is not astroid.ClassDef ->
+    # NoMatchesException`), so an annotation naming a function or module
+    # must fail, not link hasType to a non-type entity
+    joined = joined.filter(~F.col("mkind").isin("type", "base")
+                           | (F.col("kind") == "Class"))
     # import mentions reference the binding entity itself when one exists
     # (the reference links the AssignName node, transformer:288-343); type/
     # base mentions chase through aliases (kind rank already prefers the

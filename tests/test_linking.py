@@ -148,16 +148,20 @@ def test_diamond_mro_override_winner(spark):
 
 def test_suffix_shrinking_attribute_chains(linked, extracted):
     """L3 (tracking.py:297-327): attribute chains through (a) a re-exported
-    name (`facade.hub_fn` where facade does `from hub.core import hub_fn`)
+    name (`facade.HubError` where facade does `from hub.core import ...`)
     and (b) a locally bound module object (`HC = hub.core; HC.HubThing`)
-    both resolve to the canonical entities."""
+    both resolve to the canonical CLASS entities. Non-class targets must
+    NOT type-link (track_type_name_from_scope ClassDef requirement)."""
     ents = extracted["entities"]
     types = linked.filter(F.col("pred") == WOC + "hasType")
-    tgt = (types.join(ents.select(F.col("eid").alias("obj"), "fqn"), "obj")
-           .select("fqn").distinct())
-    got = {r["fqn"] for r in tgt.collect()}
+    tgt = (types.join(ents.select(F.col("eid").alias("obj"), "fqn", "kind"),
+                      "obj"))
+    got = {r["fqn"] for r in tgt.select("fqn").distinct().collect()}
     assert "hub.core.HubThing" in got   # via alias-prefix rewrite round
-    assert "hub.core.hub_fn" in got     # via from-import binding row
+    assert "hub.core.HubError" in got   # via from-import binding row
+    # every resolved hasType object is a Class — never a Function/Package
+    kinds = {r["kind"] for r in tgt.select("kind").distinct().collect()}
+    assert kinds <= {"Class"}
 
 
 def test_wildcard_reexport_chain(linked, extracted):

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 import io
+import re
 import struct
 import zlib
 from typing import Iterator
@@ -129,14 +130,23 @@ def decode_png(data: bytes):
     return w, h, out
 
 
+_NETPBM_HEADER = re.compile(
+    rb"\A(P[56])\s+(\d+)\s+(\d+)\s+(\d+)[\t\n\x0b\x0c\r ]")
+
+
 def decode_netpbm(data: bytes):
-    """P5 (gray) / P6 (RGB) binary netpbm -> (w, h, gray pixels)."""
-    parts = data.split(None, 4)
-    if parts[0] not in (b"P5", b"P6"):
+    """P5 (gray) / P6 (RGB) binary netpbm -> (w, h, gray pixels).
+
+    The header is parsed with an anchored regex ending at EXACTLY ONE
+    whitespace byte after maxval (netpbm spec: a single separator before the
+    raster) — a whitespace-run split would eat raster bytes that happen to be
+    ASCII whitespace (0x09-0x0D, 0x20) and shift every pixel."""
+    m = _NETPBM_HEADER.match(data)
+    if not m:
         raise ValueError("not netpbm")
-    w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
-    body = parts[4]
-    if parts[0] == b"P5":
+    w, h, maxval = int(m.group(2)), int(m.group(3)), int(m.group(4))
+    body = data[m.end():]
+    if m.group(1) == b"P5":
         pix = list(body[:w * h])
     else:
         pix = [(body[i] + body[i + 1] + body[i + 2]) // 3

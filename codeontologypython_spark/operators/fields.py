@@ -114,8 +114,11 @@ def _mro_and_contributions(pdf: pd.DataFrame) -> pd.DataFrame:
     names: dict[str, str] = {}
     for r in pdf.itertuples(index=False):
         if r.kind == "e":
+            # null pos surfaces as NaN in pandas (int column -> float):
+            # `is not None` never catches it and NaN would poison the
+            # sorted() base ordering below — pd.notna covers both
             raw_edges.setdefault(r.a, []).append(
-                (r.pos if r.pos is not None else 0, r.b))
+                (int(r.pos) if pd.notna(r.pos) else 0, r.b))
         else:
             if r.b is not None:
                 names[r.a] = r.b

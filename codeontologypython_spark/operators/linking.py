@@ -141,10 +141,17 @@ def resolve_mentions(mentions: DataFrame, symbol_table: DataFrame,
             return salted_join(probe, st, "fqn", salt=salt)
         return probe.join(st, "fqn")
 
+    if alias_map is not None:
+        # the miss anti-join below compares mention_ids between `m` and
+        # `joined` — materialize the id-assigning plan EXACTLY ONCE by
+        # checkpointing `m` first and deriving `joined` from the checkpoint.
+        # Two independent materializations of monotonically_increasing_id can
+        # silently desynchronize (task retry, AQE coalesce, an upstream
+        # repartition), dropping or double-resolving mentions.
+        m = m.localCheckpoint()
     joined = join_st(m)
     if alias_map is not None:
         # misses only: most mentions resolve in round 1 or are external
-        m = m.localCheckpoint()
         joined = joined.localCheckpoint()
         miss = (m.join(joined.select("mention_id").distinct(),
                        "mention_id", "left_anti")

@@ -46,10 +46,16 @@ def _sessionize_group(key, pdfs: Iterator[pd.DataFrame],
         session_id, start_us, last_us, n = 0, 0, None, 0
 
     touched: dict[int, tuple[int, int]] = {}  # session_id -> (n, duration)
-    for pdf in pdfs:
-        # event-time order within the batch (micro-batches arrive in file
-        # order; cross-batch late data would need event-time timeouts — the
-        # batch cross-check feeds waves in time order)
+    # applyInPandasWithState delivers one GROUP as multiple Arrow-sized
+    # chunks with no global order guarantee: materialize the whole group and
+    # sort ONCE over (tsl, event_id) — per-chunk sorts would fold
+    # out-of-order timestamps and split sessions wrongly (cross-batch late
+    # data would additionally need event-time timeouts; the batch
+    # cross-check feeds waves in time order)
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = (pd.concat(chunks, ignore_index=True)
+               if len(chunks) > 1 else chunks[0])
         pdf = pdf.sort_values(["tsl", "event_id"])
         for tsl in pdf["tsl"]:
             tsl = int(tsl)
@@ -107,7 +113,11 @@ def run_sessionize(spark: SparkSession, source_dir: str, checkpoint_dir: str,
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {query_name!r} did not drain available files "
+            "within 300s — refusing to compact a partial update stream")
     raw = spark.table(query_name)
     # last update wins: the biggest (n_events, duration) per session is the
     # final fold state (n_events grows monotonically within a session)

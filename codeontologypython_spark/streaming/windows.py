@@ -59,5 +59,9 @@ def run_windowed_counts(spark: SparkSession, source_dir: str,
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {query_name!r} did not drain available files "
+            "within 300s — refusing to return a partial memory-sink table")
     return spark.table(query_name)

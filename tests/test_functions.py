@@ -256,3 +256,23 @@ def test_bucketed_ann_index_prunes_partitions(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     # the index scan must carry a non-empty partition filter on bucket
     assert "PartitionFilters: [bucket" in plan
+
+
+def test_netpbm_whitespace_first_pixel():
+    """Regression (ADVICE r2): the netpbm header ends at EXACTLY ONE
+    whitespace byte — raster data whose first byte is ASCII whitespace
+    (0x20, 0x09-0x0D) must not be eaten by a whitespace-run split."""
+    from codeontologypython_spark.functions.multimodal import decode_netpbm
+    w, h = 3, 2
+    # first pixel 0x20 (space), second 0x0A (newline) — the adversarial case
+    pix = [0x20, 0x0A, 0x7F, 0x00, 0xFF, 0x09]
+    data = b"P5 %d %d 255\n" % (w, h) + bytes(pix)
+    gw, gh, got = decode_netpbm(data)
+    assert (gw, gh) == (w, h)
+    assert got == pix
+    # P6 RGB with whitespace-valued leading channel bytes
+    rgb = bytes([0x20, 0x20, 0x20, 0x0A, 0x0A, 0x0A] * w * h)[: 3 * w * h]
+    data6 = b"P6\n%d %d\n255\n" % (w, h) + rgb
+    gw6, gh6, got6 = decode_netpbm(data6)
+    assert (gw6, gh6) == (w, h)
+    assert got6[0] == 0x20 and got6[1] == 0x0A

@@ -300,3 +300,20 @@ def test_salted_link_stage_equals_broadcast(extracted):
     ediff = (b_ents.select("eid").exceptAll(s_ents.select("eid")).count()
              + s_ents.select("eid").exceptAll(b_ents.select("eid")).count())
     assert ediff == 0
+
+
+def test_resolve_mentions_stable_under_repartition(extracted):
+    """Regression (ADVICE r2 / VERDICT r2 #2): mention ids are assigned by
+    monotonically_increasing_id and must be materialized exactly once. An
+    upstream repartition perturbs partition order; if `m` and `joined` each
+    re-evaluated the id plan, the L3 miss anti-join would silently drop or
+    double-resolve mentions. The resolved triple set must be invariant."""
+    e = extracted
+    base, _, _ = linking.link_stage(e["entities"], e["triples"],
+                                    e["mentions"])
+    got, _, _ = linking.link_stage(e["entities"], e["triples"],
+                                   e["mentions"].repartition(7))
+    cols = ["subj", "pred", "obj", "obj_is_literal"]
+    diff = (base.select(cols).exceptAll(got.select(cols)).count()
+            + got.select(cols).exceptAll(base.select(cols)).count())
+    assert diff == 0

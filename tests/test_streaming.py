@@ -157,3 +157,47 @@ def test_stateful_sessionizer_equals_batch(spark, tmp_path):
     g2 = {(r["user_id"], r["session_id"]): (r["n_events"], r["duration_us"])
           for r in batch.collect()}
     assert g1 == g2
+
+
+def test_sessionize_group_chunk_order_invariant():
+    """Regression (ADVICE r2): applyInPandasWithState delivers a group as
+    multiple Arrow chunks with no global time order — the fold must sort the
+    MATERIALIZED group once, not each chunk independently."""
+    import pandas as pd
+
+    from codeontologypython_spark.streaming.stateful import _sessionize_group
+
+    class _FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    hour = 3600 * 1_000_000
+    # events at 0 and +10min (session 1) then +3h (session 2 after the
+    # >30min inactivity gap)
+    ev = [(1, 0), (2, 600 * 1_000_000), (3, 3 * hour)]
+
+    def run(chunks):
+        st = _FakeState()
+        out = list(_sessionize_group(
+            (7,), iter([pd.DataFrame({"event_id": [e for e, _ in c],
+                                      "tsl": [t for _, t in c]})
+                        for c in chunks]), st))
+        return pd.concat(out).sort_values("session_id").reset_index(drop=True)
+
+    sorted_one = run([ev])
+    # chunk 1 holds the LATE event, chunk 2 the early ones: per-chunk sorting
+    # would see 3h before 0h and split sessions wrongly
+    out_of_order = run([[ev[2]], ev[:2]])
+    assert sorted_one.equals(out_of_order)
+    assert list(sorted_one["n_events"]) == [2, 1]

@@ -120,6 +120,33 @@ _PROJ_CLASSES = {
         "    def litter_size():\n"
         "        return 6\n"
     ),
+    # L7 general value inference (reference resolve_value via astroid
+    # infer(), tracking.py:383-428): factory calls, call chains, module
+    # constants, and shadowing give-ups
+    "zoo/factory.py": (
+        '"""Factory module: L7 value-inference shapes."""\n'
+        "from zoo.dog import Dog\n"
+        "\n"
+        "DEFAULT_NAME = \"rex\"\n"
+        "\n\n"
+        "def make_dog():\n"
+        "    return Dog(DEFAULT_NAME, \"lab\")\n"
+        "\n\n"
+        "def pick_dog() -> Dog:\n"
+        "    return make_dog()\n"
+        "\n\n"
+        "def chained():\n"
+        "    return pick_dog()\n"
+        "\n\n"
+        "class Kennel:\n"
+        '    """Holds a dog."""\n'
+        "\n"
+        "    def __init__(self, name=\"spot\"):\n"
+        "        self.mascot = make_dog()\n"
+        "        self.label = DEFAULT_NAME\n"
+        "        self.name = name\n"
+        "        self.backup = chained()\n"
+    ),
 }
 
 # --------------------------------------------------------------------------
@@ -347,6 +374,22 @@ def source_files_df(spark: SparkSession, copies: int = 1, partitions: int | None
     if partitions:
         df = df.repartition(partitions, "repo", "path")
     return df
+
+
+# the fixture corpus's project manifest (S3 remnant — reference
+# is_by_project, explore/__init__.py:188-231): dep_unused ships a library
+# that is a DEPENDENCY of its repo, not project-declared; every other
+# fixture library is project-own (absent rows default to True)
+FIXTURE_MANIFEST_ROWS = [
+    ("fixtures/dep_unused", "unused_dep", False),
+]
+
+
+def project_manifest_df(spark: SparkSession) -> DataFrame:
+    """Tiny (repo, library, is_by_project) manifest for
+    canonicalize.apply_library_manifest (broadcast side)."""
+    return spark.createDataFrame(
+        FIXTURE_MANIFEST_ROWS, "repo string, library string, is_by_project boolean")
 
 
 # template of one generated "unit": globals, a function with control flow,

@@ -9,7 +9,8 @@ signatures — is real and tested. Decoding is layered (probed per worker):
   and netpbm P5/P6 otherwise — REAL decodes, no external libraries;
 - audio: soundfile when importable; built-in stdlib ``wave`` decoder for
   RIFF/WAV (PCM16) otherwise;
-- video: no stdlib decoder exists — rows degrade to status='unsupported'
+- video: PyAV when importable (first decodable frame -> image feature); no
+  stdlib decoder exists, so rows degrade to status='unsupported' without it
   with a null feature (warn-and-skip, never job failure), unless
   ``fake=True`` substitutes the deterministic content-derived feature so the
   distributed plumbing can be exercised end-to-end for every kind.
@@ -227,9 +228,23 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     return [h[i] / 255.0 for i in range(dim)]
 
 
-def _decode_one(kind: str, payload: bytes, dim: int, pil, sf):
+def _decode_one(kind: str, payload: bytes, dim: int, pil, sf, av=None):
     """-> (status, feature | None). Never raises (warn-and-skip)."""
     try:
+        if kind == "video":
+            if av is not None:
+                # first decodable frame -> grayscale image feature (the same
+                # layered-probe pattern as PIL/soundfile; PyAV is absent in
+                # this container, so rows degrade to 'unsupported' here and
+                # decode for real on a cluster with the lib installed)
+                with av.open(io.BytesIO(payload)) as container:
+                    for frame in container.decode(video=0):
+                        arr = frame.to_ndarray(format="gray")
+                        h, w = arr.shape
+                        return "pyav", _image_feature(
+                            w, h, [int(x) for x in arr.reshape(-1)], dim)
+                return "error:NoFrames", None
+            return "unsupported", None
         if kind == "image":
             if pil is not None:
                 img = pil.open(io.BytesIO(payload)).convert("L")
@@ -250,7 +265,7 @@ def _decode_one(kind: str, payload: bytes, dim: int, pil, sf):
                 return "builtin-wav", _audio_feature(*decode_wav(payload),
                                                      dim=dim)
             return "unsupported", None
-        return "unsupported", None  # video: no stdlib decoder
+        return "unsupported", None  # unknown kind
     except Exception as e:  # decode failure -> error row, job continues
         return f"error:{type(e).__name__}", None
 
@@ -265,7 +280,7 @@ def decode_and_featurize(df: DataFrame, fake: bool = False,
     content-derived feature (plumbing tests, video rows)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pil = sf = None
+        pil = sf = av = None
         if not fake:
             try:
                 from PIL import Image as pil  # type: ignore # noqa: N813
@@ -275,6 +290,10 @@ def decode_and_featurize(df: DataFrame, fake: bool = False,
                 import soundfile as sf  # type: ignore
             except ImportError:
                 sf = None
+            try:
+                import av  # type: ignore
+            except ImportError:
+                av = None
         for pdf in batches:
             stats, feats = [], []
             for kind, payload in zip(pdf["kind"], pdf["payload"]):
@@ -285,7 +304,8 @@ def decode_and_featurize(df: DataFrame, fake: bool = False,
                     stats.append("fake")
                     feats.append(_fake_feature(bytes(payload), dim))
                 else:
-                    st, ft = _decode_one(kind, bytes(payload), dim, pil, sf)
+                    st, ft = _decode_one(kind, bytes(payload), dim, pil, sf,
+                                         av)
                     stats.append(st)
                     feats.append(ft)
             yield pd.DataFrame({

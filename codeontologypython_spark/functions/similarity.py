@@ -197,22 +197,44 @@ def write_ann_index(corpus: DataFrame, path: str,
 def probe_ann_index(spark, path: str, queries: DataFrame, k: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     dim: int = 16, n_planes: int = 6, seed: int = 42,
-                    round_digits: int = 4) -> DataFrame:
+                    round_digits: int = 4,
+                    prune_strategy: str = "auto",
+                    collect_threshold: int = 10_000) -> DataFrame:
     """Top-k probe against a bucketed on-disk index: the query's bucket
     signature becomes a PARTITION FILTER on the index scan — the physical
     plan reads only the probed buckets' files. Results equal lsh_ann_topk
-    over the same corpus (same planes, same tie order)."""
+    over the same corpus (same planes, same tie order).
+
+    ``prune_strategy`` (mirrors linking's ``broadcast_symtab="auto"``):
+
+    - ``"collect"`` — collect the distinct probed bucket ids to the driver
+      and push a static ``IN`` partition filter. Best for small query sets:
+      pruning is visible in the local-mode plan (PartitionFilters).
+    - ``"join"`` — no driver collect; the bucket equi-join alone drives the
+      scan, and on a cluster dynamic partition pruning (broadcast of the
+      bucket-distinct query side) prunes the index partitions at runtime.
+      The scale path when |Q| is large — the driver never holds the probe
+      set.
+    - ``"auto"`` — bounded probe of the query count (``limit(T+1).count()``,
+      never a full scan) picks collect below ``collect_threshold`` rows,
+      join above.
+    """
     planes = _hyperplanes(dim, n_planes, seed)
     index = spark.read.parquet(path)
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"),
                        lsh_signature(F.col(vec_col), planes).alias("bucket"))
-    # small query sets: collect the probed bucket ids so Catalyst turns them
-    # into a static IN partition filter (dynamic partition pruning handles
-    # the join form on a cluster; the explicit filter makes pruning visible
-    # and plan-testable in local mode)
-    buckets = [r["bucket"] for r in q.select("bucket").distinct().collect()]
-    pruned = index.filter(F.col("bucket").isin(buckets))
+    if prune_strategy == "auto":
+        n_q = queries.limit(collect_threshold + 1).count()
+        prune_strategy = "collect" if n_q <= collect_threshold else "join"
+    if prune_strategy == "collect":
+        buckets = [r["bucket"]
+                   for r in q.select("bucket").distinct().collect()]
+        pruned = index.filter(F.col("bucket").isin(buckets))
+    elif prune_strategy == "join":
+        pruned = index
+    else:
+        raise ValueError(f"unknown prune_strategy: {prune_strategy!r}")
     c = pruned.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("cv"), "bucket")
     scored = (q.join(c, "bucket")

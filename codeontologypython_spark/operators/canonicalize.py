@@ -28,12 +28,20 @@ WOC = woc.WOC
 def dedup_triples(triples: DataFrame) -> DataFrame:
     """C1: one winner per (subj, pred, obj), min-commit tiebreak.
 
-    Implemented as groupBy + min(struct) rather than a row_number window:
-    identical result, but the aggregation partial-combines map-side, so the
-    shuffle carries one row per distinct triple instead of every duplicate
-    (the dominant cost at corpus scale where Project/Library/Package triples
-    are re-emitted by every file)."""
+    Implemented as groupBy + min(struct) rather than a row_number window,
+    and the stream is explicitly ``repartition("subj")`` first: hash
+    partitioning by subj alone SATISFIES the (subj, pred, obj) clustering
+    requirement (equal subj ⟹ same partition ⟹ equal triple ⟹ same
+    partition), so Catalyst inserts no second exchange — and, because the
+    aggregation preserves its child's partitioning, every downstream
+    subj-keyed operation (the own-literal IRI aggregation, the subj-side IRI
+    rewrite join) reuses this ONE exchange when the result is persisted.
+    This trades the map-side partial combine for exchange reuse: duplicate
+    triples (per-file re-emissions of shared Project/Library/Package rows,
+    <0.1% of the stream) travel through the shuffle before collapsing, while
+    three later full-stream shuffles disappear entirely."""
     return (triples
+            .repartition("subj")
             .groupBy("subj", "pred", "obj")
             .agg(F.min(F.struct("commit", "repo", "obj_is_literal"))
                  .alias("w"))
@@ -41,6 +49,38 @@ def dedup_triples(triples: DataFrame) -> DataFrame:
                     F.col("w.commit").alias("commit"),
                     "subj", "pred", "obj",
                     F.col("w.obj_is_literal").alias("obj_is_literal")))
+
+
+def apply_library_manifest(triples: DataFrame,
+                           manifest: DataFrame) -> DataFrame:
+    """S3 remnant — project-own vs dependency library classification.
+
+    The reference's ``Library.is_by_project`` (explore/__init__.py:188-231)
+    gates ``init_library``'s project links (individuals.py:720-731): ONLY
+    libraries declared inside the project get ``hasProject`` /
+    ``isDependencyOf``; dependency libraries keep their Library individual
+    and ``hasName`` but stand unlinked. SURVEY §2.1 maps the classification
+    to a column joined from a tiny project-manifest table:
+    ``manifest(repo, library, is_by_project)``, absent rows defaulting to
+    project-own (True).
+
+    Spark shape: the manifest is tiny (one row per repo x top-level library
+    marked as a dependency), so the drop-set is a broadcast ANTI join keyed
+    on the library eid — the full triple stream is never shuffled. The
+    library eid sits in ``subj`` for ``hasProject`` and in ``obj`` for
+    ``hasDependency``; inverses don't exist yet at this stage (they are
+    materialized from forwards later, so dropping the forwards drops them
+    too)."""
+    deps = (manifest.filter(~F.col("is_by_project"))
+            .select(F.concat(F.col("repo"), F.lit("|Library|"),
+                             F.col("library")).alias("dep_eid")))
+    lib_key = (F.when(F.col("pred") == woc.PROP["hasProject"], F.col("subj"))
+               .when(F.col("pred") == woc.PROP["hasDependency"],
+                     F.col("obj")))
+    return (triples.withColumn("_libkey", lib_key)
+            .join(F.broadcast(deps), F.col("_libkey") == F.col("dep_eid"),
+                  "left_anti")
+            .drop("_libkey"))
 
 
 def dedup_entities(entities: DataFrame) -> DataFrame:
@@ -103,36 +143,71 @@ def compute_iris(entities: DataFrame, triples: DataFrame) -> DataFrame:
                     ), 256)).alias("iri")))
 
 
-def apply_iris(triples: DataFrame, iri_map: DataFrame) -> DataFrame:
+# above this many iri_map rows (~130 B/row -> ~500 MB hash relation) the
+# broadcast rewrite stops fitting comfortably in executor memory; fall back
+# to shuffle joins (the corpus-scale default, where the triple table is
+# bucketed so the sorts are co-located). Mirrors linking's
+# _AUTO_BROADCAST_MAX_ROWS pattern.
+_IRI_BROADCAST_MAX_ROWS = 4_000_000
+
+
+def apply_iris(triples: DataFrame, iri_map: DataFrame,
+               broadcast_maps: bool = False) -> DataFrame:
     """Rewrite local entity ids to hashed IRIs on both subj and obj sides.
     Objects already holding absolute IRIs (rdf:type classes, access-modifier
-    singletons, owl terms) pass through via coalesce."""
+    singletons, owl terms) pass through via coalesce.
+
+    Shuffle shape: with ``broadcast_maps`` (auto-gated by canonicalize_stage
+    on iri_map size) both lookups are map-side broadcast-hash joins — zero
+    exchange AND zero sort on the triple stream (the sort-merge sorts of the
+    11M-row stream were measured 10x slower than the broadcast probe). On
+    the shuffle path the obj join is taken ONLY by non-literal rows —
+    literal rows (which carry the multi-KB hasSourceCode/hasDocumentation
+    strings, most of the stream's bytes) bypass it entirely, and the subj
+    join reuses the dedup output's subj partitioning. The obj_is_literal
+    filters push below the subj join to the cached scan, so neither branch
+    recomputes the other's rows."""
     s_map = iri_map.select(F.col("eid").alias("subj"), F.col("iri").alias("s_iri"))
     o_map = iri_map.select(F.col("eid").alias("obj"), F.col("iri").alias("o_iri"))
-    return (triples
-            .join(s_map, "subj", "left")
-            .join(o_map, "obj", "left")
-            .select(
-                "repo", "commit",
-                F.coalesce("s_iri", "subj").alias("subj"),
-                "pred",
-                F.when(F.col("obj_is_literal"), F.col("obj"))
-                 .otherwise(F.coalesce("o_iri", "obj")).alias("obj"),
-                "obj_is_literal"))
+    if broadcast_maps:
+        # the two exchanges canonicalize to the same subtree (aliases are
+        # normalized away), so ReuseExchange ships one hash relation
+        s_map, o_map = F.broadcast(s_map), F.broadcast(o_map)
+    with_s = (triples
+              .join(s_map, "subj", "left")
+              .select("repo", "commit",
+                      F.coalesce("s_iri", "subj").alias("subj"),
+                      "pred", "obj", "obj_is_literal"))
+    lits = with_s.filter(F.col("obj_is_literal"))
+    nonlits = (with_s.filter(~F.col("obj_is_literal"))
+               .join(o_map, "obj", "left")
+               .select("repo", "commit", "subj", "pred",
+                       F.coalesce("o_iri", "obj").alias("obj"),
+                       "obj_is_literal"))
+    return lits.unionByName(nonlits)
 
 
 def materialize_inverses(triples: DataFrame) -> DataFrame:
-    """C4: forward-only emission + relational inverse generation."""
+    """C4: forward-only emission + relational inverse generation.
+
+    Single pass: each row explodes into [forward] or [forward, inverse] —
+    NOT a union of the input plan with a derived-inverses plan, which would
+    execute the whole upstream rewrite pipeline twice (once per union
+    branch)."""
     inv_map = F.create_map(*[F.lit(x) for pair in woc.INVERSE.items() for x in pair])
-    invertible = (triples
-                  .filter(~F.col("obj_is_literal"))
-                  .withColumn("inv_pred", inv_map[F.col("pred")])
-                  .filter(F.col("inv_pred").isNotNull()))
-    inverses = invertible.select(
-        "repo", "commit",
-        F.col("obj").alias("subj"), F.col("inv_pred").alias("pred"),
-        F.col("subj").alias("obj"), F.lit(False).alias("obj_is_literal"))
-    return triples.unionByName(inverses)
+    inv_pred = inv_map[F.col("pred")]
+    fwd = F.struct(F.col("subj"), F.col("pred"), F.col("obj"),
+                   F.col("obj_is_literal"))
+    inv = F.struct(F.col("obj").alias("subj"), inv_pred.alias("pred"),
+                   F.col("subj").alias("obj"),
+                   F.lit(False).alias("obj_is_literal"))
+    rows = (F.when(F.col("obj_is_literal") | inv_pred.isNull(),
+                   F.array(fwd))
+            .otherwise(F.array(fwd, inv)))
+    return (triples
+            .select("repo", "commit", F.explode(rows).alias("t"))
+            .select("repo", "commit", "t.subj", "t.pred", "t.obj",
+                    "t.obj_is_literal"))
 
 
 def degrade_argless_ptypes(entities: DataFrame, triples: DataFrame) -> DataFrame:
@@ -146,6 +221,10 @@ def degrade_argless_ptypes(entities: DataFrame, triples: DataFrame) -> DataFrame
     non-literal hasArgumentType object, so its enclosing TypeArgument counts
     as resolved regardless of the inner one's later rewrite."""
     ptypes = entities.filter(F.col("kind") == "ParameterizedType").select("eid")
+    if ptypes.isEmpty():
+        # common corpus shape (no parameterized annotations at all): skip the
+        # three full-stream candidate scans below outright
+        return triples
     generic = (triples.filter(F.col("pred") == WOC + "hasGenericType")
                .select(F.col("subj").alias("eid"), F.col("obj").alias("gen")))
     targs = (triples.filter(F.col("pred") == WOC + "hasActualTypeArgument")
@@ -238,16 +317,28 @@ def audit_iri_uniqueness(iri_map: DataFrame) -> DataFrame:
             .filter(F.col("n") > 1))
 
 
-def canonicalize_stage(entities: DataFrame, all_triples: DataFrame) -> DataFrame:
+def canonicalize_stage(entities: DataFrame, all_triples: DataFrame,
+                       manifest: DataFrame | None = None) -> DataFrame:
     """Full Stage 3: prune -> IRI hash -> rewrite -> inverses -> dedup.
 
-    ``pruned`` and ``iri_map`` are localCheckpointed: each feeds 2-3
-    downstream joins, and without a materialization barrier Catalyst would
-    re-embed (and re-execute) the whole upstream plan once per join branch —
-    the plan-blowup problem, quadratic at scale. On a cluster these are the
-    Stage-3 parquet/Iceberg checkpoints.
+    ``manifest`` (optional, tiny ``(repo, library, is_by_project)`` table)
+    drops the project links of dependency libraries first — see
+    :func:`apply_library_manifest`.
+
+    ``entities``, ``deduped`` and ``iri_map`` each feed 2-4 downstream
+    consumers, so they are persist()ed — a materialization barrier like the
+    localCheckpoints elsewhere, but one that PRESERVES outputPartitioning
+    (localCheckpoint's LogicalRDD drops it under AQE): the single
+    ``repartition("subj")`` inside dedup_triples then also serves the
+    own-literal IRI aggregation and the subj-side rewrite join with no
+    further full-stream exchange, and the eid-partitioned entity dedup
+    serves every eid-keyed join in compute_iris. On a cluster these
+    persists are the Stage-3 parquet/Iceberg checkpoints (which preserve
+    bucketing the same way).
     """
-    entities = dedup_entities(entities)
+    if manifest is not None:
+        all_triples = apply_library_manifest(all_triples, manifest)
+    entities = dedup_entities(entities).persist()
     degraded = degrade_argless_ptypes(entities, all_triples)
     pruned = prune_dangling_ptypes(entities, degraded)
     # dedup BEFORE IRI hashing: (a) the IRI aggregation then sees each
@@ -255,7 +346,9 @@ def canonicalize_stage(entities: DataFrame, all_triples: DataFrame) -> DataFrame
     # (b) the IRI-rewrite joins and the inverse union process one row per
     # distinct triple. Inverses of distinct forward triples are distinct —
     # only forward predicates are emitted upstream — so no second dedup.
-    deduped = dedup_triples(pruned).localCheckpoint()
-    iri_map = compute_iris(entities, deduped).localCheckpoint()
-    rewritten = apply_iris(deduped, iri_map)
+    deduped = dedup_triples(pruned).persist()
+    iri_map = compute_iris(entities, deduped).persist()
+    rewritten = apply_iris(deduped, iri_map,
+                           broadcast_maps=(iri_map.count()
+                                           <= _IRI_BROADCAST_MAX_ROWS))
     return materialize_inverses(rewritten)

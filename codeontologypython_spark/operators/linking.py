@@ -87,7 +87,10 @@ def chase_aliases(symbol_table: DataFrame, mentions: DataFrame,
         F.col("subj").alias("alias_fqn"),
         F.posexplode("candidates").alias("priority", "cand_fqn"))
     cands = cands.localCheckpoint()
-    symtab = symbol_table
+    # materialize the base table once: every round joins against the
+    # accumulated symtab twice (hit + anti), and without this the base
+    # derivation (an entity-table scan) re-executes per round per join
+    symtab = symbol_table.localCheckpoint()
     for _ in range(max_iterations):
         hit = (cands.join(symtab.withColumnRenamed("fqn", "cand_fqn"),
                           "cand_fqn")
@@ -375,8 +378,13 @@ def link_stage(entities: DataFrame, triples: DataFrame, mentions: DataFrame,
         mro_and_contributions,
     )
 
+    # the symbol table feeds EVERY downstream consumer (the auto-count, the
+    # alias map, the resolution join, wildcard exports); without a
+    # materialization each of those re-executes its whole derivation —
+    # entity-table scans plus all chase rounds — once per use (measured as
+    # the dominant Stage-2 cost on dense corpora)
     symtab = build_symbol_table(entities)
-    symtab = chase_aliases(symtab, mentions)
+    symtab = chase_aliases(symtab, mentions).localCheckpoint()
     if broadcast_symtab == "auto":
         n_sym = symtab.count()
         if n_sym > _AUTO_BROADCAST_MAX_ROWS:
@@ -391,7 +399,8 @@ def link_stage(entities: DataFrame, triples: DataFrame, mentions: DataFrame,
              .select("eid", F.col("fqn").alias("canon_fqn")))
     alias_map = (symtab.filter(F.col("via_alias")).join(canon, "eid")
                  .filter(F.col("fqn") != F.col("canon_fqn"))
-                 .select(F.col("fqn").alias("alias_fqn"), "canon_fqn"))
+                 .select(F.col("fqn").alias("alias_fqn"), "canon_fqn")
+                 .localCheckpoint())  # consumed by isEmpty + the miss round
     if alias_map.isEmpty():
         alias_map = None
     # resolved feeds several consumers (edges, overrides, fields, output):

@@ -492,13 +492,148 @@ def value_type_name(node) -> str | None:
     calls ``Foo()`` to the class ``Foo``. The join analog: literals yield the
     builtin type name, a Call of a plain (dotted) name yields that name as a
     type mention candidate; everything else degrades to None, matching the
-    reference's give-up-on-failure (tracking.py:395, :422)."""
+    reference's give-up-on-failure (tracking.py:395, :422).
+
+    The env-aware general form (module functions with inferable returns,
+    module constants) is :meth:`FileExtractor._value_type`, built on
+    :func:`build_local_infer_env`."""
     lit = literal_type_name(node)
     if lit is not None:
         return lit
     if isinstance(node, ast.Call):
         return dotted_name(node.func)
     return None
+
+
+def _collect_returns(fn):
+    """Source-ordered ``return`` value expressions of a function body, not
+    descending into nested defs/lambdas; ``None`` in the list marks a bare
+    ``return``. Returns the sentinel ``None`` (no list) for generators —
+    astroid would infer a generator object, never the yielded type."""
+    out: list = []
+
+    def walk(nodes):
+        for node in nodes:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                                 ast.ClassDef, ast.Lambda)):
+                continue
+            if isinstance(node, (ast.Yield, ast.YieldFrom)):
+                raise _IsGenerator
+            if isinstance(node, ast.Return):
+                out.append(node.value)
+            walk(ast.iter_child_nodes(node))
+
+    try:
+        walk(fn.body)
+    except _IsGenerator:
+        return None
+    return out
+
+
+class _IsGenerator(Exception):
+    pass
+
+
+def build_local_infer_env(tree: ast.Module):
+    """L7 general value inference environment — the bounded single-module
+    analog of the reference's astroid ``infer()`` (``resolve_value``,
+    tracking.py:383-428, ``max_inferences = 3``).
+
+    Returns ``(funcs, consts, class_names)``:
+
+    - ``funcs``: module-level function name -> type name of its return —
+      from the return annotation when present, else the first inferable
+      ``return`` expression (astroid takes the first non-Uninferable
+      inference result); functions without any ``return`` infer ``NoneType``
+      (astroid's implicit ``Const(None)``); generators/async give up;
+    - ``consts``: module-level ``NAME = <expr>`` -> type of the first
+      inferable assigned value (astroid yields assigned values in order and
+      the reference's loop stops at the first non-Uninferable one);
+    - ``class_names``: module-level class defs — ``x = Dog`` infers the
+      ClassDef itself (the reference's ``type(inferred) is ClassDef`` branch).
+
+    Call chains (``def f(): return g()``) resolve across three fixpoint
+    rounds, mirroring the reference's inference bound; anything deeper or
+    cyclic degrades to None (give-up-on-failure).
+    """
+    fns: dict[str, object] = {}
+    class_names: set[str] = set()
+    const_rhs: dict[str, list] = {}
+    for stmt in tree.body:
+        if isinstance(stmt, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            fns.setdefault(stmt.name, stmt)
+        elif isinstance(stmt, ast.ClassDef):
+            class_names.add(stmt.name)
+        elif isinstance(stmt, ast.Assign):
+            for tgt in stmt.targets:
+                if isinstance(tgt, ast.Name):
+                    const_rhs.setdefault(tgt.id, []).append(stmt.value)
+        elif (isinstance(stmt, ast.AnnAssign)
+              and isinstance(stmt.target, ast.Name)):
+            ann = structure_annotation(stmt.annotation)
+            const_rhs.setdefault(stmt.target.id, []).append(
+                ann if isinstance(ann, str) else stmt.value)
+
+    funcs: dict[str, str | None] = {}
+    consts: dict[str, str | None] = {}
+
+    def infer(node):
+        if isinstance(node, str):       # pre-resolved (AnnAssign annotation)
+            return node
+        lit = literal_type_name(node)
+        if lit is not None:
+            return lit
+        if isinstance(node, ast.Call):
+            name = dotted_name(node.func)
+            if name is not None and "." not in name and name in fns:
+                return funcs.get(name)
+            return name                 # constructor-call assumption
+        if isinstance(node, ast.Name):
+            if node.id in consts:
+                return consts[node.id]
+            if node.id in class_names:
+                return node.id
+        return None
+
+    def fn_ret(fn):
+        if fn.returns is not None:
+            ann = structure_annotation(fn.returns)
+            if isinstance(ann, str):
+                return ann
+            if isinstance(ann, tuple) and ann and isinstance(ann[0], str):
+                return ann[0]           # parameterized -> bare generic
+        if isinstance(fn, ast.AsyncFunctionDef):
+            return None                 # a call yields a coroutine object
+        rets = _collect_returns(fn)
+        if rets is None:
+            return None                 # generator
+        if not rets:
+            return "NoneType"           # implicit return None
+        for r in rets:
+            t = "NoneType" if r is None else infer(r)
+            if t is not None:
+                return t
+        return None
+
+    for _ in range(3):
+        changed = False
+        for name, fn in fns.items():
+            t = fn_ret(fn)
+            if funcs.get(name, "\x00unset") != t:
+                funcs[name] = t
+                changed = True
+        for name, exprs in const_rhs.items():
+            t = None
+            for x in exprs:
+                t = infer(x)
+                if t is not None:
+                    break
+            if consts.get(name, "\x00unset") != t:
+                consts[name] = t
+                changed = True
+        if not changed:
+            break
+    return funcs, consts, class_names
 
 
 # --------------------------------------------------------------------------
@@ -710,8 +845,45 @@ class FileExtractor:
 
     # ---- entry point ------------------------------------------------------
 
+    # ---- L7 value inference (env-aware) ------------------------------------
+
+    def _value_type(self, node) -> str | None:
+        """General L7 value inference at a use site (reference
+        ``resolve_value`` via astroid ``infer()``, tracking.py:383-428):
+        literals, constructor calls, calls of module-level functions with
+        inferable returns, module-level constant references, and module
+        class-object references. Names shadowed by an enclosing class scope
+        or the active constructor's locals are skipped — their values are
+        untracked, so inference gives up rather than mis-attributing the
+        module-level binding (the reference's pass-on-exception)."""
+        if node is None:
+            return None
+        lit = literal_type_name(node)
+        if lit is not None:
+            return lit
+        funcs, consts, class_names = self._infer_env
+        shadowed = set(self._extra_shadow)
+        for s in self._scopes[1:]:
+            shadowed.update(s.bindings)
+        if isinstance(node, ast.Call):
+            name = dotted_name(node.func)
+            if (name is not None and "." not in name
+                    and name not in shadowed and name in funcs):
+                return funcs[name]
+            return name                 # constructor-call assumption
+        if isinstance(node, ast.Name) and node.id not in shadowed:
+            if node.id in consts:
+                return consts[node.id]
+            if node.id in class_names:
+                return node.id
+        return None
+
+    # ---- entry point ------------------------------------------------------
+
     def run(self):
         tree = ast.parse(self.content)  # raises SyntaxError -> caller skips
+        self._infer_env = build_local_infer_env(tree)
+        self._extra_shadow: frozenset[str] = frozenset()
 
         proj = f"{self.repo}|Project|{self.project_name}"
         lib = f"{self.repo}|Library|{self.library}"
@@ -1061,7 +1233,7 @@ class FileExtractor:
         """One (target, description, annotation, value, node) observation
         (tracking.py:613-620 tavn tuple) as a mention row + type mentions."""
         has_ann = ann_struct is not None
-        vt = value_type_name(value_node) if value_node is not None else None
+        vt = self._value_type(value_node)
         has_value = value_node is not None
         line = getattr(node, "lineno", None)
         self.mentions.append({
@@ -1136,6 +1308,19 @@ class FileExtractor:
                 "candidates": [cls_eid], "raw": "1\x1f"})
             return
         self_ref = pos_args[0].arg
+        # __init__ params and locals shadow module-level names for the value
+        # inference of `self.x = name` assigns (the walk below runs with the
+        # class scope on the stack but not the ctor's function scope)
+        init_locals = {a.arg for a in (pos_args + list(init.args.kwonlyargs))}
+        if init.args.vararg is not None:
+            init_locals.add(init.args.vararg.arg)
+        if init.args.kwarg is not None:
+            init_locals.add(init.args.kwarg.arg)
+        for sub in ast.walk(init):
+            if isinstance(sub, ast.Name) and isinstance(sub.ctx, ast.Store):
+                init_locals.add(sub.id)
+        prev_shadow, self._extra_shadow = (self._extra_shadow,
+                                           frozenset(init_locals))
         delegations: list[str] = []
         for idx, stmt in enumerate(init.body):
             if isinstance(stmt, ast.Assign):
@@ -1176,6 +1361,7 @@ class FileExtractor:
                     delegations.append(f"{idx}:super")
                 elif isinstance(fexpr, ast.Name):
                     delegations.append(f"{idx}:named:{fexpr.id}")
+        self._extra_shadow = prev_shadow
         self.mentions.append({
             "subj": cls_eid, "pred": "", "kind": "ctorinfo",
             "candidates": [cls_eid],
@@ -1280,9 +1466,10 @@ class FileExtractor:
             elif dt:
                 self.emit_type_mentions(pid, _struct_of_str(dt))
             elif default is not None:
-                # L7 value inference on the default: literals AND constructor
-                # calls (reference resolve_value, tracking.py:383-428)
-                self.emit_type_mentions(pid, value_type_name(default))
+                # L7 value inference on the default: literals, constructor
+                # calls, local-function returns, module constants
+                # (reference resolve_value, tracking.py:383-428)
+                self.emit_type_mentions(pid, self._value_type(default))
             scope.bindings[a.arg] = {"kind": "param", "node": a, "eid": pid,
                                      "binder_stmt": None}
 

@@ -63,6 +63,7 @@ def run_pipeline(
     write_nt: bool = True,
     broadcast_symtab: bool | str = "auto",
     salt: int = 0,
+    manifest: DataFrame | None = None,
 ) -> PipelineResult:
     t0 = time.time()
     s1_path = os.path.join(workdir, "stage1_extract")
@@ -156,7 +157,8 @@ def run_pipeline(
         # does so the union matches the non-resumed plan
         base_triples = triples.filter(~F.col("subj").contains("\x02"))
         final = canonicalize_stage(entities.unionByName(extra_entities),
-                                   base_triples.unionByName(resolved))
+                                   base_triples.unionByName(resolved),
+                                   manifest=manifest)
         final.write.mode("overwrite").parquet(s3_path)
         final = spark.read.parquet(s3_path)
         _append_lineage(

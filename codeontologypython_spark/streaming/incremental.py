@@ -76,6 +76,16 @@ def compact(spark: SparkSession, workdir: str) -> DataFrame:
     mixed-version graph. Supersede step: keep only the LATEST extraction per
     (repo, path), where recency is the stream lineage's ``batch_id`` (arrival
     order — commit hashes are not ordered), before splitting.
+
+    Considered and rejected: commit-scoped entity ids (``repo|commit|path|
+    ordinal``). They would prevent cross-version triple MIXING under one
+    subject, but not staleness — the old commit's rows become a disjoint
+    subgraph with its own eids, so BOTH versions would survive dedup and the
+    winner join here would still be required to exclude them; meanwhile every
+    subj/obj string in every Stage-2/3 shuffle grows by a commit token
+    (subjects and objects dominate shuffle bytes at corpus scale). The
+    winner semi-join costs one broadcast of a tiny (repo, path, commit) set
+    and achieves exclusion outright.
     """
     from codeontologypython_spark.operators.canonicalize import canonicalize_stage
     from codeontologypython_spark.operators.extract import split_extraction

@@ -28,6 +28,11 @@ def main(argv=None):
                    help="salt factor for the symbol-table join "
                         "(0 = auto: broadcast when small, salted beyond "
                         "2M symbols)")
+    p.add_argument("--manifest", default=None,
+                   help="parquet dir with (repo, library, is_by_project): "
+                        "libraries marked is_by_project=false lose their "
+                        "hasProject/hasDependency links (reference "
+                        "is_by_project classification)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -42,7 +47,9 @@ def main(argv=None):
         root_repos=args.roots.split(",") if args.roots else None,
         write_nt=args.nt,
         broadcast_symtab="auto" if args.salt == 0 else False,
-        salt=args.salt)
+        salt=args.salt,
+        manifest=(spark.read.parquet(args.manifest)
+                  if args.manifest else None))
     print(json.dumps({
         "triples": res.n_triples,
         "seconds": round(res.seconds, 2),

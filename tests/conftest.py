@@ -36,7 +36,9 @@ def extracted(spark, source_files):
 
 @pytest.fixture(scope="session")
 def final_triples(spark, extracted):
-    """Shared canonical triples (Stages 2+3)."""
+    """Shared canonical triples (Stages 2+3), manifest-classified like the
+    goldens (tools/make_goldens.py)."""
+    from codeontologypython_spark.corpus.fixtures import project_manifest_df
     from codeontologypython_spark.operators.canonicalize import canonicalize_stage
     from codeontologypython_spark.operators.linking import link_stage
 
@@ -45,4 +47,4 @@ def final_triples(spark, extracted):
         e["entities"], e["triples"], e["mentions"])
     allt = base_triples.unionByName(resolved)
     return canonicalize_stage(e["entities"].unionByName(extra_entities),
-                              allt).cache()
+                              allt, manifest=project_manifest_df(spark)).cache()

@@ -184,8 +184,15 @@ def test_multimodal_real_decode(spark):
     assert aud and all(r["status"] in ("builtin-wav", "soundfile")
                        for r in aud)
     assert all(r["feature"] is not None for r in aud)
-    # video: no stdlib decoder — honest unsupported rows
-    assert vid and all(r["status"] == "unsupported" for r in vid)
+    # video: PyAV when importable (first-frame feature), honest unsupported
+    # rows otherwise (the synthetic payloads are fake containers, so with a
+    # real PyAV they decode-fail into error:* — never silently succeed)
+    try:
+        import av  # type: ignore # noqa: F401
+        assert vid and all(r["status"].startswith(("pyav", "error:"))
+                           for r in vid)
+    except ImportError:
+        assert vid and all(r["status"] == "unsupported" for r in vid)
     # determinism
     feats2 = {r["media_id"]: r["feature"] for r in
               decode_and_featurize(media, fake=False).collect()}
@@ -256,6 +263,20 @@ def test_bucketed_ann_index_prunes_partitions(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     # the index scan must carry a non-empty partition filter on bucket
     assert "PartitionFilters: [bucket" in plan
+
+    # large-|Q| path: the bucket JOIN form (no driver collect of the probe
+    # set; DPP prunes on a cluster) must give identical results, and "auto"
+    # must select it above the collect threshold
+    joined = probe_ann_index(spark, path, q, k=5, dim=64, n_planes=4,
+                             prune_strategy="join")
+    assert (joined.select(cols).exceptAll(got.select(cols)).count()
+            + got.select(cols).exceptAll(joined.select(cols)).count()) == 0
+    auto_big = probe_ann_index(spark, path, q, k=5, dim=64, n_planes=4,
+                               prune_strategy="auto", collect_threshold=2)
+    aplan = auto_big._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" not in aplan  # join form chosen
+    assert (auto_big.select(cols).exceptAll(got.select(cols)).count()
+            + got.select(cols).exceptAll(auto_big.select(cols)).count()) == 0
 
 
 def test_netpbm_whitespace_first_pixel():

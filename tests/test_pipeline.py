@@ -95,6 +95,32 @@ def test_flagship_library_listing(final_triples):
                    "typed", "unused_dep", "zoo"]
 
 
+def test_library_manifest_classification(final_triples):
+    """S3 remnant (reference is_by_project, explore/__init__.py:188-231;
+    init_library, individuals.py:720-731): dependency libraries stay named
+    Library individuals but carry NO project links; project-own libraries
+    keep hasProject/hasDependency and their inverses. The fixture manifest
+    marks fixtures/dep_unused's `unused_dep` as a dependency."""
+    names = final_triples.filter(F.col("pred") == woc.DPROP["hasName"])
+    dep_iris = [r["subj"] for r in
+                names.filter(F.col("obj") == "unused_dep").collect()]
+    assert dep_iris  # the Library individual itself survives
+    link_preds = [woc.PROP["hasProject"], woc.PROP["hasDependency"],
+                  woc.INVERSE[woc.PROP["hasProject"]],
+                  woc.INVERSE[woc.PROP["hasDependency"]]]
+    dep_links = final_triples.filter(
+        F.col("pred").isin(link_preds)
+        & (F.col("subj").isin(dep_iris) | F.col("obj").isin(dep_iris)))
+    assert dep_links.isEmpty()
+    # project-own libraries keep the links (e.g. zoo)
+    zoo_iris = [r["subj"] for r in
+                names.filter(F.col("obj") == "zoo").collect()]
+    own_links = final_triples.filter(
+        (F.col("pred") == woc.PROP["hasProject"])
+        & F.col("subj").isin(zoo_iris))
+    assert not own_links.isEmpty()
+
+
 def test_broken_repo_still_succeeds(extracted):
     errs = extracted["errors"].collect()
     assert any(e["path"] == "broken.py" and e["stage"] == "parse" for e in errs)

@@ -458,3 +458,53 @@ def test_global_redirection():
     gvars = [x for x in e if x["kind"] == "GlobalVariable" and x["name"] == "COUNT"]
     assert len(gvars) == 1  # the function assign resolves to the module var
     assert not [x for x in e if x["kind"] == "LocalVariable"]
+
+
+# ---- L7 general value inference (resolve_value, tracking.py:383-428) ------
+
+def test_l7_general_value_inference():
+    """Calls of module-level functions with inferable returns, call chains
+    (<= 3 deep), module constants, class-object references, and the give-up
+    cases: shadowed names, generators, uninferable chains."""
+    src = (
+        "CONST = 3\n"
+        "NAME = 'x'\n"
+        "NAME = 7\n"                       # astroid: first inference wins
+        "class Dog:\n"
+        "    pass\n"
+        "ALIASED = Dog\n"
+        "def make_dog():\n"
+        "    return Dog()\n"
+        "def pick() -> Dog:\n"
+        "    return make_dog()\n"
+        "def chain():\n"
+        "    return pick()\n"
+        "def noret(x):\n"
+        "    x += 1\n"
+        "def gen():\n"
+        "    yield 1\n"
+        "class Holder:\n"
+        "    def __init__(self, name=make_dog(), k=CONST, g=gen()):\n"
+        "        self.a = make_dog()\n"    # local factory      -> Dog
+        "        self.b = chain()\n"       # 2-deep call chain  -> Dog
+        "        self.c = CONST\n"         # module constant    -> int
+        "        self.d = name\n"          # shadowed param     -> give up
+        "        self.e = noret(1)\n"      # no return stmt     -> NoneType
+        "        self.f = ALIASED\n"       # class object       -> Dog
+        "        self.n = NAME\n"          # first assign wins  -> str
+        "        local = 5\n"
+        "        self.h = local\n"         # shadowed local     -> give up
+        "        self.i = gen()\n"         # generator          -> give up
+    )
+    e, _, m = _run(src)
+    v_mentions = [x for x in m
+                  if x["kind"] == "type" and "\x02" in x["subj"]
+                  and x["subj"].split("\x02")[1].endswith("v")]
+    assert sorted(x["raw"] for x in v_mentions) == \
+        ["Dog", "Dog", "Dog", "NoneType", "int", "str"]
+
+    # param defaults: make_dog() -> Dog, CONST -> int, gen() -> no mention
+    param_eids = {x["eid"] for x in e if x["kind"] == "Parameter"}
+    param_raws = sorted(x["raw"] for x in m
+                        if x["kind"] == "type" and x["subj"] in param_eids)
+    assert param_raws == ["Dog", "int"]

@@ -95,6 +95,27 @@ def test_flagship_library_listing(final_triples):
                    "typed", "unused_dep", "zoo"]
 
 
+def test_apply_iris_shuffle_path_equivalence(spark, extracted, final_triples,
+                                             monkeypatch):
+    """The corpus-scale shuffle path of the IRI rewrite (taken beyond
+    _IRI_BROADCAST_MAX_ROWS entities, never by the small fixture corpus)
+    must serialize the exact same graph as the broadcast path."""
+    from codeontologypython_spark.corpus.fixtures import project_manifest_df
+    from codeontologypython_spark.operators import canonicalize as C
+    from codeontologypython_spark.operators.linking import link_stage
+    from codeontologypython_spark.sources.ntriples import to_ntriples
+    monkeypatch.setattr(C, "_IRI_BROADCAST_MAX_ROWS", 0)
+    e = extracted
+    resolved, xe, base = link_stage(e["entities"], e["triples"],
+                                    e["mentions"])
+    shuffled = C.canonicalize_stage(e["entities"].unionByName(xe),
+                                    base.unionByName(resolved),
+                                    manifest=project_manifest_df(spark))
+    a = [r["value"] for r in to_ntriples(shuffled).collect()]
+    b = [r["value"] for r in to_ntriples(final_triples).collect()]
+    assert a == b
+
+
 def test_library_manifest_classification(final_triples):
     """S3 remnant (reference is_by_project, explore/__init__.py:188-231;
     init_library, individuals.py:720-731): dependency libraries stay named

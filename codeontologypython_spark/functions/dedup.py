@@ -246,3 +246,53 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     return (pairs.withColumn("equal_chunks", eq)
             .filter(F.col("equal_chunks") >= min_equal_chunks)
             .select("doc_a", "doc_b", "equal_chunks"))
+
+
+def near_dup_clusters(docs: DataFrame, pairs: DataFrame,
+                      id_col: str = "doc_id",
+                      max_iters: int = 20) -> DataFrame:
+    """Connected components over near-duplicate candidate pairs — the step
+    that turns pairwise LSH/SimHash output into dedup decisions: every doc
+    gets a ``cluster_id`` (the MIN doc id reachable through the pair graph;
+    singletons get themselves).
+
+    Spark shape: iterative min-label propagation, the standard large-graph
+    CC (label rows join the edge list, each round's labels localCheckpointed
+    so plans stay flat), converging in O(cluster diameter) rounds — near-dup
+    clusters are star-/clique-like, so 2-4 rounds in practice, ``max_iters``
+    bounds adversarial chains. Each round is one join + one map-side-combined
+    min aggregation; the convergence probe is an anti-join emptiness check
+    (at corpus scale, run the probe every few rounds instead).
+    """
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = (edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct().localCheckpoint())
+    labels = docs.select(
+        F.col(id_col).cast("long").alias("node"),
+        F.col(id_col).cast("long").alias("cluster_id")).localCheckpoint()
+    for _ in range(max_iters):
+        prop = (edges.join(labels.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("cluster_id").alias("nbr_min")))
+        new = (labels.join(prop, "node", "left")
+               .select("node",
+                       F.least(F.col("cluster_id"),
+                               F.coalesce("nbr_min", "cluster_id"))
+                       .alias("cluster_id"))
+               .localCheckpoint())
+        if new.join(labels, ["node", "cluster_id"], "left_anti").isEmpty():
+            labels = new
+            break
+        labels = new
+    return labels.select(F.col("node").alias(id_col), "cluster_id")
+
+
+def dedup_corpus(docs: DataFrame, pairs: DataFrame,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Deduplicated corpus: keep ONE representative per near-dup cluster
+    (the min-id member). Returns the kept docs' rows."""
+    clusters = near_dup_clusters(docs, pairs, id_col)
+    keep = (clusters.filter(F.col(id_col) == F.col("cluster_id"))
+            .select(id_col))
+    return docs.join(keep, id_col, "left_semi")

@@ -297,3 +297,24 @@ def test_netpbm_whitespace_first_pixel():
     gw6, gh6, got6 = decode_netpbm(data6)
     assert (gw6, gh6) == (w, h)
     assert got6[0] == 0x20 and got6[1] == 0x0A
+
+
+def test_near_dup_clusters_and_corpus(spark):
+    """Connected components over pair graphs: chains collapse to the min id,
+    separate components stay separate, singletons keep themselves; the
+    deduplicated corpus keeps exactly one representative per cluster."""
+    from codeontologypython_spark.functions.dedup import (
+        dedup_corpus,
+        near_dup_clusters,
+    )
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], "doc_id long, text string")
+    # components: {0,1,2,3} via chain 0-1,1-2,2-3; {5,6}; singletons 4,7
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long")
+    got = {(r["doc_id"], r["cluster_id"])
+           for r in near_dup_clusters(docs, pairs).collect()}
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 0), (4, 4),
+                   (5, 5), (6, 5), (7, 7)}
+    kept = sorted(r["doc_id"] for r in dedup_corpus(docs, pairs).collect())
+    assert kept == [0, 4, 5, 7]

@@ -296,3 +296,30 @@ def dedup_corpus(docs: DataFrame, pairs: DataFrame,
     keep = (clusters.filter(F.col(id_col) == F.col("cluster_id"))
             .select(id_col))
     return docs.join(keep, id_col, "left_semi")
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3, min_shared: int = 3) -> DataFrame:
+    """Pretraining decontamination: flag corpus documents sharing at least
+    ``min_shared`` distinct n-gram shingles with ANY benchmark document —
+    the standard guard against test-set leakage into training data.
+
+    Scale shape: the benchmark side (an eval suite) is orders of magnitude
+    smaller than the corpus, so its distinct shingle set is BROADCAST and
+    the corpus-side count is a map-side-combined aggregation — the corpus
+    shuffles only (doc, count) rows, never its shingles. Returns
+    (id_col, n_shared_shingles) for flagged docs."""
+    from codeontologypython_spark.functions.textops import shingles_col
+
+    d = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(
+            shingles_col(F.col(text_col), n))).alias("shingle"))
+    b = (benchmark.select(F.explode(F.array_distinct(
+            shingles_col(F.col(text_col), n))).alias("shingle"))
+         .distinct())
+    return (d.join(F.broadcast(b), "shingle")
+            .groupBy(F.col("doc").alias(id_col))
+            .agg(F.count("*").alias("n_shared_shingles"))
+            .filter(F.col("n_shared_shingles") >= min_shared))

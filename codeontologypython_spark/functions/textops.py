@@ -111,3 +111,15 @@ def hash_hex_prefix_to_long(c: Column) -> Column:
     hash used by MinHash (same value via ('0x'||substr(md5(x),1,8))::bigint
     in DuckDB)."""
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def repetition_ratio(text: Column, n: int = 3) -> Column:
+    """Intra-document repetition (Gopher/RefinedWeb-style quality signal):
+    1 - distinct/total n-gram shingles. 0 = no repeated n-grams, ->1 =
+    degenerate loops. Null for docs shorter than one shingle. Integer-exact
+    operands, so the double division is bit-identical across engines."""
+    sh = shingles_col(text, n)
+    return F.when(
+        F.size(sh) > 0,
+        F.lit(1.0) - (F.size(F.array_distinct(sh)).cast("double")
+                      / F.size(sh).cast("double")))

@@ -318,3 +318,34 @@ def test_near_dup_clusters_and_corpus(spark):
                    (5, 5), (6, 5), (7, 7)}
     kept = sorted(r["doc_id"] for r in dedup_corpus(docs, pairs).collect())
     assert kept == [0, 4, 5, 7]
+
+
+def test_repetition_ratio(spark):
+    from codeontologypython_spark.functions.textops import repetition_ratio
+    rows = [(0, "a b c a b c a b c"),      # "a b c" style repeats
+            (1, "w x y z q r s t"),        # all shingles distinct
+            (2, "zz")]                     # too short -> null
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["rr"] for r in df.select(
+        "doc_id", repetition_ratio(F.col("text")).alias("rr")).collect()}
+    # doc 0: 7 shingles, 3 distinct -> 1 - 3/7
+    assert got[0] == pytest.approx(1 - 3 / 7)
+    assert got[1] == 0.0
+    assert got[2] is None
+
+
+def test_decontaminate(spark):
+    from codeontologypython_spark.functions.dedup import decontaminate
+    corpus = spark.createDataFrame(
+        [(0, "the exam question about spark shuffles appears here today"),
+         (1, "totally unrelated text with zero overlap whatsoever present"),
+         (2, "the exam question about nothing")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "the exam question about spark shuffles")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["n_shared_shingles"]
+           for r in decontaminate(corpus, bench, min_shared=3).collect()}
+    assert got[0] == 4          # 4 shared 3-gram shingles
+    assert 1 not in got         # clean doc untouched
+    assert 2 not in got         # 2 shared shingles < min_shared=3

@@ -38,12 +38,14 @@ HEADLINE = [
 
 KG_FILES = int(os.environ.get("SPARK_GRAFT_KG_FILES", "12000"))
 KG_UNITS = int(os.environ.get("SPARK_GRAFT_KG_UNITS", "40"))
-# the link+canonicalize scaling levels use a smaller corpus: stage 2/3
-# processes ~11k triples per file, so 800 files ≈ 9M triple-rows through
-# the join half — enough to dominate fixed job overhead (~40-120s per run vs
-# ~2s of job scheduling) without pushing the bench past its budget or the
-# 8-core level into cache-eviction territory
-KG_LINK_FILES = int(os.environ.get("SPARK_GRAFT_KG_LINK_FILES", "800"))
+# the link+canonicalize scaling levels run at THREE corpus sizes per core
+# count (tiny / mid / big = 50 / KG_LINK_FILES/4 / KG_LINK_FILES): the tiny
+# level reads the serial floor S directly (P≈0 there), and the mid→big delta
+# isolates the per-file parallel core cost p_c = Δwall·cores/Δfiles, giving
+# the parallel half's scaling efficiency p_lo/p_hi with S factored out — the
+# model-fit form of the north rule for the join-heavy half (stage 2/3
+# processes ~11k triples per file)
+KG_LINK_FILES = int(os.environ.get("SPARK_GRAFT_KG_LINK_FILES", "3200"))
 # 3 repeats: the full-job level (Arrow egress through local mode's single
 # shared JVM) shows 1.5x run-to-run spread at 32 cores (367-562 files/s
 # observed on identical code); best-of-3 recovers the uncontended rate
@@ -66,10 +68,20 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
                     .limit(1000).groupBy().agg(F.count("*")))
     out = {}
     for name in HEADLINE:
-        t0 = time.time()
-        _noop_write(qs[name](spark, sf_dir))
-        out[name] = round(time.time() - t0, 3)
+        best = None
+        # the three draw-sensitive queries (observed +13-20% swings across
+        # rounds on untouched code) get best-of-3; the rest are stable
+        # single-shot (their round-to-round spread is within a few percent)
+        for _ in range(3 if name in _BEST_OF_3 else 1):
+            t0 = time.time()
+            _noop_write(qs[name](spark, sf_dir))
+            dt = round(time.time() - t0, 3)
+            best = dt if best is None else min(best, dt)
+        out[name] = best
     return out
+
+
+_BEST_OF_3 = {"q_ngram_jaccard", "q_minhash_lsh", "q_knn_cosine"}
 
 
 def kg_extract_run(cpus: int, n_files: int = KG_FILES,
@@ -167,6 +179,11 @@ def kg_link_run(cpus: int, n_files: int = KG_LINK_FILES,
     out = (extract_stage(src)
            .repartition(max(cpus * 2, 16)).localCheckpoint())
 
+    # the stage-1 checkpoint must survive repeats; everything persisted AFTER
+    # this point is per-run state
+    keep_rdds = {r.id() for r in
+                 spark.sparkContext._jsc.getPersistentRDDs().values()}
+
     def run_once():
         entities, triples, mentions, _ = split_extraction(out)
         # contract (run_pipeline does the same): the split views feed many
@@ -175,12 +192,28 @@ def kg_link_run(cpus: int, n_files: int = KG_LINK_FILES,
         entities = entities.persist()
         triples = triples.persist()
         mentions = mentions.persist()
+        # plan pinning: force the CORPUS-SCALE strategies (salted symtab
+        # join, shuffle IRI rewrite) at every corpus size. The auto gates
+        # flip broadcast->shuffle across _AUTO_BROADCAST_MAX_ROWS /
+        # _IRI_BROADCAST_MAX_ROWS as the corpus grows, which would compare
+        # different physical plans between the scaling model's sizes; the
+        # pinned shuffle paths are also what a 10^12-file corpus runs.
         resolved, extra_entities, base = link_stage(entities, triples,
-                                                    mentions)
+                                                    mentions,
+                                                    broadcast_symtab=False,
+                                                    salt=16)
         final = canonicalize_stage(entities.unionByName(extra_entities),
-                                   base.unionByName(resolved))
+                                   base.unionByName(resolved),
+                                   broadcast_iris=False)
         _noop_write(final)
         spark.catalog.clearCache()  # drop the stage's persisted barriers
+        # clearCache does NOT free localCheckpoint RDDs — without this sweep
+        # each repeat leaks its round barriers into executor memory and
+        # repeat 3 lands in cache-eviction/GC territory (measured: 31s -> 133s
+        # on the third repeat at 800 files / 8 cores)
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            if jrdd.id() not in keep_rdds:
+                jrdd.unpersist()
 
     best = None
     for _ in range(repeats):
@@ -192,8 +225,63 @@ def kg_link_run(cpus: int, n_files: int = KG_LINK_FILES,
     return n_files, best
 
 
+REALWORLD_GLOB = os.environ.get("SPARK_GRAFT_REALWORLD_GLOB",
+                                "/opt/spark/python/pyspark/**/*.py")
+
+
+def kg_realworld_run(cpus: int) -> dict | None:
+    """Full 4-stage pipeline (extract -> link -> canonicalize -> partitioned
+    triple table, plans/pipeline.run_pipeline) over REAL code: the installed
+    PySpark sources (~1,200 files of production Python). Guards the
+    throughput claims against synthetic-corpus overfitting — real files have
+    deep class hierarchies, long docstrings, dense imports. Returns
+    {files, seconds, files_per_sec, n_triples, n_errors} or None when the
+    sources are not installed. The zero-error contract matches
+    tests/test_realworld.py (full-corpus: 1,171/1,171 clean)."""
+    import glob
+    import shutil
+    import tempfile
+
+    paths = sorted(glob.glob(REALWORLD_GLOB, recursive=True))
+    if not paths:
+        return None
+    from pyspark.sql import functions as F
+
+    from codeontologypython_spark.plans.pipeline import run_pipeline
+    from codeontologypython_spark.schemas import SOURCE_FILES
+    from codeontologypython_spark.session import get_spark
+
+    spark = get_spark(cpus=cpus, shuffle_partitions=max(cpus, 8),
+                      app_name=f"bench-kg-realworld-{cpus}")
+    rows = []
+    for p in paths:
+        try:
+            content = open(p, encoding="utf-8").read()
+        except (OSError, UnicodeDecodeError):
+            continue
+        rows.append(("pyspark", p.rsplit("python/", 1)[-1], "c0000001",
+                     "python", content))
+    src = (spark.createDataFrame(rows, SOURCE_FILES)
+           .repartition(cpus * 12).cache())
+    src.count()  # input prep (driver-side file reads) stays untimed
+    workdir = tempfile.mkdtemp(prefix="bench_rw_")
+    try:
+        t0 = time.time()
+        res = run_pipeline(spark, src, workdir, write_nt=False)
+        dt = time.time() - t0
+        n_err = (spark.read.parquet(f"{workdir}/stage1_extract")
+                 .filter(F.col("rec") == "err").count())
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+    return {"files": len(rows), "seconds": round(dt, 1),
+            "files_per_sec": round(len(rows) / dt, 1),
+            "n_triples": res.n_triples, "n_errors": n_err}
+
+
 def _confined(fn_name: str, cpus: int, repeats: int,
-              udf_only: bool | None = None) -> tuple[int, float]:
+              udf_only: bool | None = None,
+              n_files: int | None = None) -> tuple[int, float]:
     """Run a bench fn in a subprocess pinned to ``cpus`` CPUs.
 
     An N-executor cluster gives the engine N cores TOTAL — JVM feed threads,
@@ -210,6 +298,8 @@ def _confined(fn_name: str, cpus: int, repeats: int,
     kw = {"repeats": repeats}
     if udf_only is not None:
         kw["udf_only"] = udf_only
+    if n_files is not None:
+        kw["n_files"] = n_files
     kw_src = ", ".join(f"{k}={v!r}" for k, v in kw.items())
     code = (
         "import sys; sys.path.insert(0, %r)\n"
@@ -239,8 +329,95 @@ def kg_extract_confined(cpus: int, repeats: int = KG_REPEATS,
     return _confined("kg_extract_run", cpus, repeats, udf_only=udf_only)
 
 
-def kg_link_confined(cpus: int, repeats: int = KG_REPEATS) -> tuple[int, float]:
-    return _confined("kg_link_run", cpus, repeats)
+def kg_link_confined(cpus: int, repeats: int = KG_REPEATS,
+                     n_files: int | None = None) -> tuple[int, float]:
+    return _confined("kg_link_run", cpus, repeats, n_files=n_files)
+
+
+def kg_realworld_confined(cpus: int) -> dict | None:
+    """kg_realworld_run in its own (taskset-confined) subprocess — same
+    JVM-isolation rationale as _confined."""
+    import shutil
+    import subprocess
+
+    code = (
+        "import sys, json; sys.path.insert(0, %r)\n"
+        "from bench import kg_realworld_run\n"
+        "print('RWRESULT ' + json.dumps(kg_realworld_run(%d)))\n"
+        % (os.path.dirname(os.path.abspath(__file__)), cpus))
+    cmd = [sys.executable, "-c", code]
+    if shutil.which("taskset") is not None and cpus < (os.cpu_count() or cpus):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    for line in out.stdout.splitlines():
+        if line.startswith("RWRESULT"):
+            return json.loads(line.split(" ", 1)[1])
+    raise RuntimeError(f"realworld bench run failed: {out.stderr[-2000:]}")
+
+
+def spark_shuffle_ceiling_run(cpus: int) -> float:
+    """Canonical Spark shuffle workload — range -> 1KB payloads ->
+    repartition -> groupBy/agg over ~16 GB — nothing but built-in JVM
+    operators, indisputably scale-correct. Its 8->32 efficiency is what THE
+    SAME Spark runtime achieves on this box for shuffle/agg work (one shared
+    JVM heap, shared memory bandwidth); the link stage's parallel-half
+    efficiency should be read against this ceiling, exactly like
+    udf_efficiency reads against workload_ceiling."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from codeontologypython_spark.session import get_spark
+    spark = get_spark(cpus=cpus, shuffle_partitions=max(cpus, 8),
+                      app_name=f"bench-shuffle-ceiling-{cpus}")
+    df = (spark.range(0, 16_000_000)
+          .select((F.col("id") % 1_600_000).alias("k"),
+                  F.concat(F.lit("x"),
+                           F.sha2(F.col("id").cast("string"), 256),
+                           F.repeat(F.lit("y"), 960)).alias("payload"))
+          ).cache()
+    df.count()
+
+    def run():
+        (df.repartition("k").groupBy("k")
+         .agg(F.count("*").alias("c"),
+              F.sum(F.length("payload")).alias("b"))
+         .write.format("noop").mode("overwrite").save())
+
+    run()  # warm codegen
+    best = None
+    for _ in range(3):
+        t0 = _t.time()
+        run()
+        dt = _t.time() - t0
+        best = dt if best is None else min(best, dt)
+    spark.stop()
+    return best
+
+
+def spark_shuffle_ceiling(lo: int = 8, hi: int = 32) -> float:
+    """8->32 efficiency of the canonical shuffle job, each level confined in
+    its own subprocess (same isolation rules as every other level)."""
+    import shutil
+    import subprocess
+
+    walls = {}
+    for cpus in (lo, hi):
+        code = (
+            "import sys; sys.path.insert(0, %r)\n"
+            "from bench import spark_shuffle_ceiling_run\n"
+            "print('SCRESULT %%f' %% spark_shuffle_ceiling_run(%d))\n"
+            % (os.path.dirname(os.path.abspath(__file__)), cpus))
+        cmd = [sys.executable, "-c", code]
+        if shutil.which("taskset") is not None and cpus < (os.cpu_count() or cpus):
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
+        for line in out.stdout.splitlines():
+            if line.startswith("SCRESULT"):
+                walls[cpus] = float(line.split()[1])
+        if cpus not in walls:
+            raise RuntimeError(f"shuffle ceiling failed: {out.stderr[-1000:]}")
+    return (walls[lo] / walls[hi]) / (hi / lo)
 
 
 def _burn(seconds: float) -> int:
@@ -354,24 +531,42 @@ def main():
     udf_efficiency = ((n_files / u_hi) / (n_files / u_lo)) / (hi_cpus / lo_cpus)
 
     # stage-2/3 scaling: the join-heavy link+canonicalize half (extraction
-    # pre-materialized, untimed) at the same two confined levels; smaller
-    # corpus + fewer repeats (run 1 doubles as warmup, best-of absorbs it)
-    ln_files, l_lo = kg_link_confined(lo_cpus, repeats=max(1, KG_REPEATS - 1))
-    _log(f"link lo done ({l_lo:.1f}s best)", t_all)
-    # the unconfined 32-core level needs ALL cores free at once, so a busy
-    # window on this shared host hits it far harder than the 8-core confined
-    # level (observed: best-of-3 draws of 92 s against a 34 s quiet-box
-    # nominal); extra repeats buy more chances to land outside the window
-    _, l_hi = kg_link_confined(hi_cpus, repeats=KG_REPEATS + 2)
-    _log(f"link hi done ({l_hi:.1f}s best)", t_all)
-    link_efficiency = ((ln_files / l_hi) / (ln_files / l_lo)) / (hi_cpus / lo_cpus)
-    # serial/parallel decomposition (wall = S + P/cores): the link stage runs
-    # ~25 sequential Spark queries whose driver-side planning + broadcast
-    # builds are core-count-invariant; S is a fixed cost any production-size
-    # corpus amortizes away, while P is the part the north rule is really
-    # about. Validated against a second corpus size in BASELINE.md.
-    link_p = (l_lo - l_hi) / (1 / lo_cpus - 1 / hi_cpus)
-    link_s = max(0.0, l_lo - link_p / lo_cpus)
+    # pre-materialized, untimed) at three corpus sizes per confined level.
+    # wall(n, c) = S_c + n*p_c/c: the tiny level measures S_c DIRECTLY
+    # (P≈0 at 50 files), the mid→big delta isolates p_c with S factored
+    # out, and p_lo/p_hi is the parallel half's scaling efficiency — the
+    # number the north rule is about, free of the fixed per-job driver cost
+    # that dominates small-corpus walls. The unconfined 32-core levels need
+    # ALL cores free at once, so a busy window on this shared host hits them
+    # far harder than the confined 8-core levels (observed: best-of-3 draws
+    # 2.5x over quiet-box nominal); extra repeats buy more chances to land
+    # outside the window.
+    ln_tiny, ln_mid = 50, max(100, KG_LINK_FILES // 4)
+    link = {}
+    for cpus, reps in ((lo_cpus, max(1, KG_REPEATS - 1)),
+                       (hi_cpus, KG_REPEATS + 2)):
+        for n in (ln_tiny, ln_mid, KG_LINK_FILES):
+            _, t = _confined("kg_link_run", cpus, reps, n_files=n)
+            link[(cpus, n)] = t
+            _log(f"link {cpus}c/{n}f done ({t:.1f}s best)", t_all)
+    l_lo, l_hi = link[(lo_cpus, KG_LINK_FILES)], link[(hi_cpus, KG_LINK_FILES)]
+    ln_files = KG_LINK_FILES
+    link_efficiency = (l_lo / l_hi) / (hi_cpus / lo_cpus)
+    # direct serial-floor reading + per-file parallel core cost per level
+    link_s_lo, link_s_hi = link[(lo_cpus, ln_tiny)], link[(hi_cpus, ln_tiny)]
+    dn = KG_LINK_FILES - ln_mid
+    link_p_lo = (l_lo - link[(lo_cpus, ln_mid)]) * lo_cpus / dn
+    link_p_hi = (l_hi - link[(hi_cpus, ln_mid)]) * hi_cpus / dn
+    link_p_efficiency = (link_p_lo / link_p_hi) if link_p_hi > 0 else None
+    # the Spark-runtime analog of workload_ceiling: what a canonical
+    # shuffle/agg job achieves 8->32 on this box's single shared JVM
+    shuffle_ceiling = round(spark_shuffle_ceiling(lo_cpus, hi_cpus), 3)
+    _log(f"spark shuffle ceiling done ({shuffle_ceiling})", t_all)
+
+    # real-world E2E: the full 4-stage pipeline over the installed PySpark
+    # sources (own subprocess, same JVM-isolation rule as every level)
+    realworld = kg_realworld_confined(hi_cpus)
+    _log(f"realworld done ({realworld})", t_all)
 
     # ceilings next (multiprocessing only, no JVM), THEN the headline-query
     # session: a SparkContext's JVM outlives spark.stop() until the python
@@ -407,8 +602,20 @@ def main():
                 "link_fps_lo": round(ln_files / l_lo, 1),
                 "link_fps_hi": round(ln_files / l_hi, 1),
                 "link_efficiency": round(link_efficiency, 3),
-                "link_serial_sec": round(link_s, 1),
-                "link_parallel_core_sec": round(link_p, 1),
+                # direct serial-floor reading: wall at 50 files (P≈0), per
+                # core count — core-count-invariance is the model's premise
+                "link_serial_lo_sec": round(link_s_lo, 1),
+                "link_serial_hi_sec": round(link_s_hi, 1),
+                # per-file parallel core cost from the mid→big delta (S
+                # cancels); their ratio is the parallel half's scaling
+                "link_perfile_core_lo": round(link_p_lo, 4),
+                "link_perfile_core_hi": round(link_p_hi, 4),
+                "link_p_efficiency": (round(link_p_efficiency, 3)
+                                      if link_p_efficiency else None),
+                "spark_shuffle_ceiling_efficiency": shuffle_ceiling,
+                "link_p_efficiency_vs_ceiling": (
+                    round(link_p_efficiency / shuffle_ceiling, 3)
+                    if link_p_efficiency and shuffle_ceiling else None),
                 "hw_ceiling_efficiency": hw_eff,
                 "workload_ceiling_efficiency": wc,
                 # the engine's efficiency as a fraction of what zero-overhead
@@ -417,6 +624,7 @@ def main():
                 # both numerator and denominator together)
                 "udf_efficiency_vs_ceiling": round(udf_efficiency / wc, 3),
             },
+            "realworld": realworld,
         },
     }))
 

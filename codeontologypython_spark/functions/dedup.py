@@ -250,7 +250,8 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
 
 def near_dup_clusters(docs: DataFrame, pairs: DataFrame,
                       id_col: str = "doc_id",
-                      max_iters: int = 20) -> DataFrame:
+                      max_iters: int = 20,
+                      checkpoint_dir: str | None = None) -> DataFrame:
     """Connected components over near-duplicate candidate pairs — the step
     that turns pairwise LSH/SimHash output into dedup decisions: every doc
     gets a ``cluster_id`` (the MIN doc id reachable through the pair graph;
@@ -263,24 +264,32 @@ def near_dup_clusters(docs: DataFrame, pairs: DataFrame,
     bounds adversarial chains. Each round is one join + one map-side-combined
     min aggregation; the convergence probe is an anti-join emptiness check
     (at corpus scale, run the probe every few rounds instead).
+    ``checkpoint_dir`` swaps the per-round localCheckpoint for a reliable
+    parquet barrier (relational.reliable_barrier — the cluster-scale mode).
     """
+    from codeontologypython_spark.operators.relational import reliable_barrier
+
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = (edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct().localCheckpoint())
-    labels = docs.select(
-        F.col(id_col).cast("long").alias("node"),
-        F.col(id_col).cast("long").alias("cluster_id")).localCheckpoint()
-    for _ in range(max_iters):
+    edges = reliable_barrier(
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct(), checkpoint_dir, "cc_edges")
+    labels = reliable_barrier(
+        docs.select(
+            F.col(id_col).cast("long").alias("node"),
+            F.col(id_col).cast("long").alias("cluster_id")),
+        checkpoint_dir, "cc_labels_init")
+    for i in range(max_iters):
         prop = (edges.join(labels.withColumnRenamed("node", "src"), "src")
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.min("cluster_id").alias("nbr_min")))
-        new = (labels.join(prop, "node", "left")
-               .select("node",
-                       F.least(F.col("cluster_id"),
-                               F.coalesce("nbr_min", "cluster_id"))
-                       .alias("cluster_id"))
-               .localCheckpoint())
+        new = reliable_barrier(
+            labels.join(prop, "node", "left")
+            .select("node",
+                    F.least(F.col("cluster_id"),
+                            F.coalesce("nbr_min", "cluster_id"))
+                    .alias("cluster_id")),
+            checkpoint_dir, f"cc_round_{i}")
         if new.join(labels, ["node", "cluster_id"], "left_anti").isEmpty():
             labels = new
             break

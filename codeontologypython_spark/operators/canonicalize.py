@@ -20,7 +20,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from codeontologypython_spark import woc
-from codeontologypython_spark.operators.relational import window_dedup
+from codeontologypython_spark.operators.relational import (
+    reliable_barrier,
+    window_dedup,
+)
 
 WOC = woc.WOC
 
@@ -34,12 +37,15 @@ def dedup_triples(triples: DataFrame) -> DataFrame:
     requirement (equal subj ⟹ same partition ⟹ equal triple ⟹ same
     partition), so Catalyst inserts no second exchange — and, because the
     aggregation preserves its child's partitioning, every downstream
-    subj-keyed operation (the own-literal IRI aggregation, the subj-side IRI
-    rewrite join) reuses this ONE exchange when the result is persisted.
+    subj-keyed operation (the neighbor-name IRI aggregation, the subj-side
+    IRI rewrite join) reuses this ONE exchange when the result is persisted.
     This trades the map-side partial combine for exchange reuse: duplicate
     triples (per-file re-emissions of shared Project/Library/Package rows,
     <0.1% of the stream) travel through the shuffle before collapsing, while
-    three later full-stream shuffles disappear entirely."""
+    later full-stream shuffles disappear entirely. In canonicalize_stage
+    this path now carries only the NON-literal rows (small, join-active);
+    literal rows — the byte mass — dedup via :func:`dedup_literal_triples`
+    without shuffling their bytes at all."""
     return (triples
             .repartition("subj")
             .groupBy("subj", "pred", "obj")
@@ -49,6 +55,58 @@ def dedup_triples(triples: DataFrame) -> DataFrame:
                     F.col("w.commit").alias("commit"),
                     "subj", "pred", "obj",
                     F.col("w.obj_is_literal").alias("obj_is_literal")))
+
+
+# dup keys above this count stop fitting a comfortable broadcast (~120 B/key);
+# fall back to the classic byte-shuffle dedup — the shape of a commit-dense
+# corpus where most files exist at many commits
+_LIT_DUP_BROADCAST_MAX = 2_000_000
+
+
+def dedup_literal_triples(lit: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """C1 for LITERAL rows without shuffling their bytes.
+
+    Literal objects (hasSourceCode, hasDocumentation, names…) are the
+    stream's byte mass: a multi-KB source string per statement/executable.
+    Classic dedup must move every unique row through one exchange to
+    co-locate equal triples — at 8→32 local cores that exchange is memory-
+    bandwidth-bound and stops scaling, and at 10^12-file scale it IS the
+    canonicalize stage's network bill. But a duplicated literal triple can
+    only arise from the same file content at several commits (subjects are
+    (repo|path|ordinal)-scoped), which makes duplicates RARE and detectable
+    from digests alone:
+
+    1. shuffle only ``(subj, pred, sha2(obj))`` key rows (~200 B) to count
+       multiplicity per distinct triple — the byte column stays in place;
+    2. keys with multiplicity > 1 (the rare multi-commit files) form a tiny
+       broadcast set; rows matching it take the classic min-commit dedup —
+       a byte shuffle of only the duplicated sliver;
+    3. everything else passes through map-side untouched.
+
+    Returns ``(deduped_rows, digest_groups)`` where ``digest_groups`` is the
+    distinct ``(subj, pred, digest)`` table — exactly one row per surviving
+    triple, which :func:`compute_iris` aggregates into the own-literal IRI
+    hash input (identical multiset to hashing the deduped rows directly, so
+    IRIs are byte-identical to the classic path). Falls back to classic
+    dedup when the dup-key set exceeds ``_LIT_DUP_BROADCAST_MAX``.
+    """
+    cols = ["repo", "commit", "subj", "pred", "obj", "obj_is_literal"]
+    lit2 = lit.withColumn("digest", F.sha2("obj", 256))
+    g = (lit2.groupBy("subj", "pred", "digest")
+         .agg(F.count("*").alias("c"))
+         .persist())  # consumed by the dup gate AND the own-literal IRI agg
+    dup_keys = g.filter(F.col("c") > 1).select("subj", "pred", "digest")
+    n_dups = dup_keys.count()
+    groups = g.select("subj", "pred", "digest")
+    if n_dups == 0:
+        return lit2.select(*cols), groups
+    if n_dups > _LIT_DUP_BROADCAST_MAX:
+        return dedup_triples(lit), groups
+    clean = (lit2.join(F.broadcast(dup_keys), ["subj", "pred", "digest"],
+                       "left_anti").select(*cols))
+    hit = (lit2.join(F.broadcast(dup_keys), ["subj", "pred", "digest"],
+                     "left_semi").select(*cols))
+    return clean.unionByName(dedup_triples(hit)), groups
 
 
 def apply_library_manifest(triples: DataFrame,
@@ -100,7 +158,8 @@ def dedup_entities(entities: DataFrame) -> DataFrame:
                     F.col("w.line").alias("line")))
 
 
-def compute_iris(entities: DataFrame, triples: DataFrame) -> DataFrame:
+def compute_iris(entities: DataFrame, triples: DataFrame,
+                 lit_groups: DataFrame | None = None) -> DataFrame:
     """C3 -> (eid, iri).
 
     Hash input per entity: sorted own literal values + sorted neighbor
@@ -110,15 +169,26 @@ def compute_iris(entities: DataFrame, triples: DataFrame) -> DataFrame:
     e.g. two identical `pass` statements on the same line of different
     files; at 10^12-file scale that assert would fail, so the eid term makes
     IRIs collision-free while staying deterministic in the input content.
+
+    ``lit_groups`` (the distinct (subj, pred, digest) table from
+    :func:`dedup_literal_triples`) supplies the own-literal digests without
+    touching the literal byte column again; without it they are hashed from
+    ``triples`` directly (the mixed-stream form used by unit tests).
     """
     # each literal is pre-hashed so the aggregation shuffles 64-char digests
     # instead of multi-KB hasSourceCode strings; the outer sha256 over the
     # sorted digest list keeps determinism (the reference concatenates raw
     # values, individuals.py:60-85 — same IRI-stability contract, different
     # bytes, which is fine because IRI parity is engine-internal)
-    own_lits = (triples.filter(F.col("obj_is_literal"))
-                .groupBy("subj")
-                .agg(F.collect_list(F.sha2("obj", 256)).alias("lits")))
+    if lit_groups is not None:
+        # one group row per surviving deduped literal triple -> the digest
+        # multiset equals hashing the deduped rows directly
+        own_lits = (lit_groups.groupBy("subj")
+                    .agg(F.collect_list("digest").alias("lits")))
+    else:
+        own_lits = (triples.filter(F.col("obj_is_literal"))
+                    .groupBy("subj")
+                    .agg(F.collect_list(F.sha2("obj", 256)).alias("lits")))
     neighbor_names = (
         triples.filter(~F.col("obj_is_literal"))
         .join(entities.select(F.col("eid").alias("obj"),
@@ -151,35 +221,37 @@ def compute_iris(entities: DataFrame, triples: DataFrame) -> DataFrame:
 _IRI_BROADCAST_MAX_ROWS = 4_000_000
 
 
-def apply_iris(triples: DataFrame, iri_map: DataFrame,
+def apply_iris(lit: DataFrame, nonlit: DataFrame, iri_map: DataFrame,
                broadcast_maps: bool = False) -> DataFrame:
-    """Rewrite local entity ids to hashed IRIs on both subj and obj sides.
-    Objects already holding absolute IRIs (rdf:type classes, access-modifier
-    singletons, owl terms) pass through via coalesce.
+    """Rewrite local entity ids to hashed IRIs: subj side on both streams,
+    obj side on non-literals only. Objects already holding absolute IRIs
+    (rdf:type classes, access-modifier singletons, owl terms) pass through
+    via coalesce.
 
     Shuffle shape: with ``broadcast_maps`` (auto-gated by canonicalize_stage
-    on iri_map size) both lookups are map-side broadcast-hash joins — zero
-    exchange AND zero sort on the triple stream (the sort-merge sorts of the
-    11M-row stream were measured 10x slower than the broadcast probe). On
-    the shuffle path the obj join is taken ONLY by non-literal rows —
-    literal rows (which carry the multi-KB hasSourceCode/hasDocumentation
-    strings, most of the stream's bytes) bypass it entirely, and the subj
-    join reuses the dedup output's subj partitioning. The obj_is_literal
-    filters push below the subj join to the cached scan, so neither branch
-    recomputes the other's rows."""
+    on iri_map size) all lookups are map-side broadcast-hash joins — the
+    literal byte mass crosses ZERO exchanges in the whole stage (its dedup
+    is digest-based, see dedup_literal_triples). On the shuffle path the
+    literal stream pays its single byte exchange here (subj join) and the
+    non-literal joins reuse the dedup output's subj partitioning; the
+    sort-merge sorts of a unified 11M-row stream were measured 10x slower
+    than the broadcast probe, hence the auto gate."""
     s_map = iri_map.select(F.col("eid").alias("subj"), F.col("iri").alias("s_iri"))
     o_map = iri_map.select(F.col("eid").alias("obj"), F.col("iri").alias("o_iri"))
     if broadcast_maps:
-        # the two exchanges canonicalize to the same subtree (aliases are
+        # the exchanges canonicalize to the same subtree (aliases are
         # normalized away), so ReuseExchange ships one hash relation
         s_map, o_map = F.broadcast(s_map), F.broadcast(o_map)
-    with_s = (triples
-              .join(s_map, "subj", "left")
-              .select("repo", "commit",
-                      F.coalesce("s_iri", "subj").alias("subj"),
-                      "pred", "obj", "obj_is_literal"))
-    lits = with_s.filter(F.col("obj_is_literal"))
-    nonlits = (with_s.filter(~F.col("obj_is_literal"))
+    lits = (lit
+            .join(s_map, "subj", "left")
+            .select("repo", "commit",
+                    F.coalesce("s_iri", "subj").alias("subj"),
+                    "pred", "obj", "obj_is_literal"))
+    nonlits = (nonlit
+               .join(s_map, "subj", "left")
+               .select("repo", "commit",
+                       F.coalesce("s_iri", "subj").alias("subj"),
+                       "pred", "obj", "obj_is_literal")
                .join(o_map, "obj", "left")
                .select("repo", "commit", "subj", "pred",
                        F.coalesce("o_iri", "obj").alias("obj"),
@@ -210,7 +282,8 @@ def materialize_inverses(triples: DataFrame) -> DataFrame:
                     "t.obj_is_literal"))
 
 
-def degrade_argless_ptypes(entities: DataFrame, triples: DataFrame) -> DataFrame:
+def degrade_argless_ptypes(entities: DataFrame, triples: DataFrame,
+                           assume_ptypes: bool = False) -> DataFrame:
     """A ParameterizedType whose generic resolved but NONE of whose type
     arguments did degrades to the plain generic class — the reference links
     the bare generic when ``is_all_none(parameterized_individuals)``
@@ -221,9 +294,11 @@ def degrade_argless_ptypes(entities: DataFrame, triples: DataFrame) -> DataFrame
     non-literal hasArgumentType object, so its enclosing TypeArgument counts
     as resolved regardless of the inner one's later rewrite."""
     ptypes = entities.filter(F.col("kind") == "ParameterizedType").select("eid")
-    if ptypes.isEmpty():
+    if not assume_ptypes and ptypes.isEmpty():
         # common corpus shape (no parameterized annotations at all): skip the
-        # three full-stream candidate scans below outright
+        # three full-stream candidate scans below outright (canonicalize_stage
+        # answers this from its batched kind-count job and passes
+        # assume_ptypes=True when ptypes are known to exist)
         return triples
     generic = (triples.filter(F.col("pred") == WOC + "hasGenericType")
                .select(F.col("subj").alias("eid"), F.col("obj").alias("gen")))
@@ -263,21 +338,25 @@ def degrade_argless_ptypes(entities: DataFrame, triples: DataFrame) -> DataFrame
                   "obj", "left_anti"))
 
 
-def prune_dangling_ptypes(entities: DataFrame, triples: DataFrame) -> DataFrame:
+def prune_dangling_ptypes(entities: DataFrame, triples: DataFrame,
+                          checkpoint_dir: str | None = None) -> DataFrame:
     """Drop ParameterizedType entities that (a) never resolved a generic
     (reference generic-individual-None rule, extractor.py:952-961) or
     (b) have no inbound hasType/hasArgumentType reference left — e.g. the
     annotation subtree of a LOSING field fact after the Stage-2 fold — plus
     their TypeArgument subtrees. Bounded loop: dropping a parent generic
     orphans its nested generics, so iterate to the (shallow) nesting depth.
+    ``checkpoint_dir`` swaps the loop's localCheckpoints for reliable
+    parquet barriers (relational.reliable_barrier — the cluster-scale mode).
     """
-    ptypes = (entities.filter(F.col("kind") == "ParameterizedType")
-              .select("eid").localCheckpoint())
+    ptypes = reliable_barrier(
+        entities.filter(F.col("kind") == "ParameterizedType").select("eid"),
+        checkpoint_dir, "ptypes_init")
     if ptypes.isEmpty():
         return triples
     # all the per-round probes filter on 3 type-predicates — restrict once
     # per round so the full triple stream is only anti-joined, never grouped
-    for _ in range(6):
+    for i in range(6):
         resolved_generic = (triples
                             .filter(F.col("pred") == WOC + "hasGenericType")
                             .select(F.col("subj").alias("eid")).distinct())
@@ -286,9 +365,10 @@ def prune_dangling_ptypes(entities: DataFrame, triples: DataFrame) -> DataFrame:
                                               WOC + "hasArgumentType")
                            & ~F.col("obj_is_literal"))
                    .select(F.col("obj").alias("eid")).distinct())
-        bad = (ptypes.join(resolved_generic, "eid", "left_anti")
-               .unionByName(ptypes.join(inbound, "eid", "left_anti"))
-               .distinct().localCheckpoint())
+        bad = reliable_barrier(
+            ptypes.join(resolved_generic, "eid", "left_anti")
+            .unionByName(ptypes.join(inbound, "eid", "left_anti"))
+            .distinct(), checkpoint_dir, f"ptypes_bad_{i}")
         if bad.isEmpty():
             return triples
         targs = (triples.filter(F.col("pred") == WOC + "hasActualTypeArgument")
@@ -297,13 +377,16 @@ def prune_dangling_ptypes(entities: DataFrame, triples: DataFrame) -> DataFrame:
         # the drop set is tiny (a subset of the type-annotation entities):
         # broadcast it so the two anti-joins are map-side and the full triple
         # stream is never shuffled
-        drop = bad.unionByName(targs).distinct().localCheckpoint()
-        triples = (triples
-                   .join(F.broadcast(drop.withColumnRenamed("eid", "subj")),
-                         "subj", "left_anti")
-                   .join(F.broadcast(drop.withColumnRenamed("eid", "obj")),
-                         "obj", "left_anti")).localCheckpoint()
-        ptypes = ptypes.join(drop, "eid", "left_anti").localCheckpoint()
+        drop = reliable_barrier(bad.unionByName(targs).distinct(),
+                                checkpoint_dir, f"ptypes_drop_{i}")
+        triples = reliable_barrier(
+            triples
+            .join(F.broadcast(drop.withColumnRenamed("eid", "subj")),
+                  "subj", "left_anti")
+            .join(F.broadcast(drop.withColumnRenamed("eid", "obj")),
+                  "obj", "left_anti"), checkpoint_dir, f"ptypes_triples_{i}")
+        ptypes = reliable_barrier(ptypes.join(drop, "eid", "left_anti"),
+                                  checkpoint_dir, f"ptypes_left_{i}")
         if ptypes.isEmpty():
             return triples
     return triples
@@ -318,37 +401,62 @@ def audit_iri_uniqueness(iri_map: DataFrame) -> DataFrame:
 
 
 def canonicalize_stage(entities: DataFrame, all_triples: DataFrame,
-                       manifest: DataFrame | None = None) -> DataFrame:
+                       manifest: DataFrame | None = None,
+                       broadcast_iris: bool | None = None) -> DataFrame:
     """Full Stage 3: prune -> IRI hash -> rewrite -> inverses -> dedup.
 
     ``manifest`` (optional, tiny ``(repo, library, is_by_project)`` table)
     drops the project links of dependency libraries first — see
     :func:`apply_library_manifest`.
 
-    ``entities``, ``deduped`` and ``iri_map`` each feed 2-4 downstream
+    ``broadcast_iris``: None (default) auto-gates the IRI rewrite on the
+    iri_map row count (one count job); an explicit True/False pins the plan
+    AND skips that job — benchmarks pin False so every corpus size takes the
+    same (corpus-scale) physical plan instead of flipping strategies across
+    the broadcast threshold mid-measurement.
+
+    ``entities``, ``nonlit_d`` and ``iri_map`` each feed 2-4 downstream
     consumers, so they are persist()ed — a materialization barrier like the
     localCheckpoints elsewhere, but one that PRESERVES outputPartitioning
     (localCheckpoint's LogicalRDD drops it under AQE): the single
-    ``repartition("subj")`` inside dedup_triples then also serves the
-    own-literal IRI aggregation and the subj-side rewrite join with no
+    ``repartition("subj")`` inside the non-literal dedup then also serves
+    the neighbor-name IRI aggregation and the subj-side rewrite join with no
     further full-stream exchange, and the eid-partitioned entity dedup
-    serves every eid-keyed join in compute_iris. On a cluster these
+    serves every eid-keyed join in compute_iris. Literal rows — the byte
+    mass — never enter that exchange at all: their dedup and IRI hash input
+    run on digests (dedup_literal_triples), so on the broadcast-rewrite path
+    the stage moves ZERO literal bytes through shuffles. On a cluster these
     persists are the Stage-3 parquet/Iceberg checkpoints (which preserve
     bucketing the same way).
     """
     if manifest is not None:
         all_triples = apply_library_manifest(all_triples, manifest)
     entities = dedup_entities(entities).persist()
-    degraded = degrade_argless_ptypes(entities, all_triples)
-    pruned = prune_dangling_ptypes(entities, degraded)
+    # one aggregate job (which also warms the entity persist) replaces the
+    # two separate full-stream ParameterizedType emptiness probes that
+    # degrade/prune would otherwise each run — on ptype-free corpora the
+    # whole degrade+prune pair short-circuits with zero extra jobs
+    n_ptypes = (entities.filter(F.col("kind") == "ParameterizedType")
+                .groupBy().count().collect()[0][0])
+    if n_ptypes:
+        degraded = degrade_argless_ptypes(entities, all_triples,
+                                          assume_ptypes=True)
+        pruned = prune_dangling_ptypes(entities, degraded)
+    else:
+        pruned = all_triples
     # dedup BEFORE IRI hashing: (a) the IRI aggregation then sees each
-    # neighbor name once (duplicate emissions would perturb the hash input),
-    # (b) the IRI-rewrite joins and the inverse union process one row per
-    # distinct triple. Inverses of distinct forward triples are distinct —
-    # only forward predicates are emitted upstream — so no second dedup.
-    deduped = dedup_triples(pruned).persist()
-    iri_map = compute_iris(entities, deduped).persist()
-    rewritten = apply_iris(deduped, iri_map,
-                           broadcast_maps=(iri_map.count()
-                                           <= _IRI_BROADCAST_MAX_ROWS))
+    # neighbor name / literal digest once (duplicate emissions would perturb
+    # the hash input), (b) the IRI-rewrite joins and the inverse union
+    # process one row per distinct triple. Inverses of distinct forward
+    # triples are distinct — only forward predicates are emitted upstream —
+    # so no second dedup.
+    nonlit_d = dedup_triples(pruned.filter(~F.col("obj_is_literal"))).persist()
+    lit_d, lit_groups = dedup_literal_triples(
+        pruned.filter(F.col("obj_is_literal")))
+    iri_map = compute_iris(entities, nonlit_d,
+                           lit_groups=lit_groups).persist()
+    if broadcast_iris is None:
+        broadcast_iris = iri_map.count() <= _IRI_BROADCAST_MAX_ROWS
+    rewritten = apply_iris(lit_d, nonlit_d, iri_map,
+                           broadcast_maps=broadcast_iris)
     return materialize_inverses(rewritten)

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from codeontologypython_spark.operators.relational import (
+    reliable_barrier,
     salted_join,
     top1_per_group,
 )
@@ -70,7 +71,10 @@ def build_symbol_table(entities: DataFrame) -> DataFrame:
 
 
 def chase_aliases(symbol_table: DataFrame, mentions: DataFrame,
-                  max_iterations: int = 10) -> DataFrame:
+                  max_iterations: int = 10,
+                  checkpoint_dir: str | None = None,
+                  skip_empty_probe: bool = False,
+                  base_is_materialized: bool = False) -> DataFrame:
     """L5: module-level ``Alias = Target`` assignments and import BINDINGS
     (``from X import y``, ``import x.y as z``) add symbol-table rows mapping
     the bound FQN to the target's entity, flagged ``via_alias``. A module-
@@ -79,19 +83,28 @@ def chase_aliases(symbol_table: DataFrame, mentions: DataFrame,
     references the AssignName node, transformer/__init__.py:288-343), type
     mentions chase through to the target (track_type_name_from_scope,
     tracking.py:330-380). Alias-of-alias chains are flattened by a bounded
-    loop (max_iterations matches tracking.py:343)."""
+    loop (max_iterations matches tracking.py:343). ``checkpoint_dir`` swaps
+    the loop's localCheckpoints for reliable parquet barriers
+    (relational.reliable_barrier — the cluster-scale mode).
+
+    ``skip_empty_probe``: the caller already knows alias mentions exist
+    (e.g. from link_stage's single batched kind-count job) — skip the
+    per-call emptiness scan. ``base_is_materialized``: the caller passes an
+    already-checkpointed symbol table — skip the redundant barrier."""
     alias_m = mentions.filter(F.col("kind") == "alias")
-    if alias_m.isEmpty():
+    if not skip_empty_probe and alias_m.isEmpty():
         return symbol_table
     cands = alias_m.select(
         F.col("subj").alias("alias_fqn"),
         F.posexplode("candidates").alias("priority", "cand_fqn"))
-    cands = cands.localCheckpoint()
+    cands = reliable_barrier(cands, checkpoint_dir, "alias_cands")
     # materialize the base table once: every round joins against the
     # accumulated symtab twice (hit + anti), and without this the base
     # derivation (an entity-table scan) re-executes per round per join
-    symtab = symbol_table.localCheckpoint()
-    for _ in range(max_iterations):
+    symtab = (symbol_table if base_is_materialized
+              else reliable_barrier(symbol_table, checkpoint_dir,
+                                    "alias_symtab"))
+    for i in range(max_iterations):
         hit = (cands.join(symtab.withColumnRenamed("fqn", "cand_fqn"),
                           "cand_fqn")
                .transform(lambda d: top1_per_group(
@@ -103,8 +116,10 @@ def chase_aliases(symbol_table: DataFrame, mentions: DataFrame,
         # new = aliases not yet present AS ALIAS ROWS (an entity row under
         # the same fqn does not satisfy the alias — the chased target must
         # land too, or chains through shadowing variables dead-end)
-        new = (hit.join(symtab.filter(F.col("via_alias")).select("fqn"),
-                        "fqn", "left_anti").localCheckpoint())
+        new = reliable_barrier(
+            hit.join(symtab.filter(F.col("via_alias")).select("fqn"),
+                     "fqn", "left_anti"),
+            checkpoint_dir, f"alias_round_{i}")
         if new.isEmpty():
             break
         symtab = symtab.unionByName(new)
@@ -220,7 +235,8 @@ def resolve_mentions(mentions: DataFrame, symbol_table: DataFrame,
 
 def expand_wildcards(mentions: DataFrame, entities: DataFrame,
                      symbol_table: DataFrame | None = None,
-                     max_rounds: int = 5) -> DataFrame:
+                     max_rounds: int = 5,
+                     known_empty: bool | None = None) -> DataFrame:
     """``from m import *`` -> imports edges to every public top-level name
     of m — own definitions AND names m itself imported (astroid's
     wildcard_import_names includes import bindings), following wildcard
@@ -231,7 +247,9 @@ def expand_wildcards(mentions: DataFrame, entities: DataFrame,
     wild = mentions.filter(F.col("kind") == "wildcard").select(
         "repo", "commit", "subj", "pred",
         F.element_at("candidates", 1).alias("module_fqn"))
-    if wild.isEmpty():
+    # known_empty: link_stage's batched kind-count job already answered the
+    # emptiness question — skip the per-call probe scan
+    if known_empty if known_empty is not None else wild.isEmpty():
         return wild.select("repo", "commit", "subj", "pred",
                            F.lit("").alias("obj"),
                            F.lit(False).alias("obj_is_literal")).limit(0)
@@ -378,15 +396,27 @@ def link_stage(entities: DataFrame, triples: DataFrame, mentions: DataFrame,
         mro_and_contributions,
     )
 
-    # the symbol table feeds EVERY downstream consumer (the auto-count, the
-    # alias map, the resolution join, wildcard exports); without a
+    # ONE batched probe job replaces the per-helper emptiness scans
+    # (alias/wildcard/extends probes were each a separate full mention-stream
+    # job — a fixed serial cost that dominated small-corpus link walls): every
+    # downstream gate reads this dict instead of running its own count
+    kind_counts = {r["kind"]: r["count"]
+                   for r in mentions.groupBy("kind").count().collect()}
+    # the symbol table feeds EVERY downstream consumer (the via-alias count,
+    # the alias map, the resolution join, wildcard exports); without a
     # materialization each of those re-executes its whole derivation —
     # entity-table scans plus all chase rounds — once per use (measured as
     # the dominant Stage-2 cost on dense corpora)
-    symtab = build_symbol_table(entities)
-    symtab = chase_aliases(symtab, mentions).localCheckpoint()
+    symtab = build_symbol_table(entities).localCheckpoint()
+    if kind_counts.get("alias", 0):
+        symtab = chase_aliases(symtab, mentions, skip_empty_probe=True,
+                               base_is_materialized=True)
+    # one aggregate answers BOTH serial gates: total rows (broadcast-vs-salted
+    # auto) and via-alias rows (whether an alias map can exist at all)
+    via_counts = {bool(r["via_alias"]): r["count"]
+                  for r in symtab.groupBy("via_alias").count().collect()}
     if broadcast_symtab == "auto":
-        n_sym = symtab.count()
+        n_sym = sum(via_counts.values())
         if n_sym > _AUTO_BROADCAST_MAX_ROWS:
             broadcast_symtab, salt = False, (salt or _AUTO_SALT)
         else:
@@ -395,26 +425,33 @@ def link_stage(entities: DataFrame, triples: DataFrame, mentions: DataFrame,
     # mapped to their target entity's canonical fqn. The miss-round costs a
     # materialization of the candidate join, so skip it entirely when no
     # alias resolved (common for corpora whose imports are all external)
-    canon = (entities.filter(F.col("fqn").isNotNull())
-             .select("eid", F.col("fqn").alias("canon_fqn")))
-    alias_map = (symtab.filter(F.col("via_alias")).join(canon, "eid")
-                 .filter(F.col("fqn") != F.col("canon_fqn"))
-                 .select(F.col("fqn").alias("alias_fqn"), "canon_fqn")
-                 .localCheckpoint())  # consumed by isEmpty + the miss round
-    if alias_map.isEmpty():
-        alias_map = None
+    alias_map = None
+    if via_counts.get(True, 0):
+        canon = (entities.filter(F.col("fqn").isNotNull())
+                 .select("eid", F.col("fqn").alias("canon_fqn")))
+        alias_map = (symtab.filter(F.col("via_alias")).join(canon, "eid")
+                     .filter(F.col("fqn") != F.col("canon_fqn"))
+                     .select(F.col("fqn").alias("alias_fqn"), "canon_fqn")
+                     .localCheckpoint())  # consumed by isEmpty + miss round
+        if alias_map.isEmpty():
+            alias_map = None
     # resolved feeds several consumers (edges, overrides, fields, output):
     # materialize once so the candidate-join isn't re-executed per consumer
     resolved = resolve_mentions(mentions, symtab,
                                 broadcast_symtab=broadcast_symtab,
                                 salt=salt,
                                 alias_map=alias_map).localCheckpoint()
-    wild = expand_wildcards(mentions, entities, symtab)
+    wild = expand_wildcards(mentions, entities, symtab,
+                            known_empty=(kind_counts.get("wildcard", 0) == 0))
 
     classes = entities.filter(F.col("kind") == "Class")
     contrib = mro_and_contributions(
         classes, extends_edges(resolved),
-        mentions.filter(F.col("kind") == "ctorinfo")).localCheckpoint()
+        mentions.filter(F.col("kind") == "ctorinfo"),
+        # extends edges only arise from resolved 'base' mentions: zero base
+        # mentions proves the edge set empty without probing it
+        known_empty_edges=(True if kind_counts.get("base", 0) == 0
+                           else None)).localCheckpoint()
     mro = contrib.filter(F.col("out") == "mro")
     overrides = resolve_overrides(entities, triples, mro)
 

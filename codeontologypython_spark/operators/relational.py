@@ -14,6 +14,27 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def reliable_barrier(df: DataFrame, checkpoint_dir: str | None,
+                     tag: str) -> DataFrame:
+    """Materialization barrier for iterative-join loops.
+
+    Default (``checkpoint_dir=None``): ``localCheckpoint()`` — fast, but
+    executor-local and non-replicated, so on a real cluster an executor loss
+    means recompute-from-nothing. With ``checkpoint_dir`` set, the round's
+    result is written to ``<dir>/<tag>`` as parquet and read back — a
+    reliable barrier that survives executor loss and also truncates lineage.
+    This makes the "on a cluster: per-round parquet checkpoint" substitution
+    documented at the loop sites executable rather than commentary. Each
+    caller passes a round-unique ``tag`` so no round overwrites a path an
+    earlier round's DataFrame still reads from.
+    """
+    if checkpoint_dir is None:
+        return df.localCheckpoint()
+    path = f"{checkpoint_dir.rstrip('/')}/{tag}"
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def salted_join(
     probe: DataFrame,
     build: DataFrame,
@@ -63,6 +84,7 @@ def transitive_closure(
     dst: str = "dst",
     max_iterations: int = 10,
     carry_min: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Bounded iterative transitive closure over an edge DataFrame, the join
     analog of the reference's recursive ancestor walks (SURVEY L4; alias
@@ -72,8 +94,9 @@ def transitive_closure(
     ``carry_min`` optionally propagates the minimum of an edge attribute along
     the first hop (used for base-class position in MRO-priority ordering).
     Each round is one shuffle join; Python class DAGs are shallow so the loop
-    exits after 2-4 rounds. At cluster scale each round's result would be
-    checkpointed to cut lineage.
+    exits after 2-4 rounds. ``checkpoint_dir`` swaps the per-round
+    localCheckpoint for a reliable parquet barrier (see
+    :func:`reliable_barrier`) — the cluster-scale mode.
     """
     carry_cols = [carry_min] if carry_min else []
     frontier = edges.select(
@@ -81,16 +104,18 @@ def transitive_closure(
         F.lit(1).alias("depth"), *[F.col(c) for c in carry_cols])
     closure = frontier
     base = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         stepped = (frontier.join(base, frontier["dst"] == base["e_src"])
                    .select(F.col("src"), F.col("e_dst").alias("dst"),
                            (F.col("depth") + 1).alias("depth"),
                            *[F.col(c) for c in carry_cols]))
         # anti-join against known pairs -> only genuinely new paths survive;
-        # localCheckpoint truncates the per-round lineage so the plan does not
-        # grow quadratically (on a cluster: per-round parquet checkpoint)
-        new = stepped.join(closure.select("src", "dst"),
-                           on=["src", "dst"], how="left_anti").localCheckpoint()
+        # the barrier truncates the per-round lineage so the plan does not
+        # grow quadratically
+        new = reliable_barrier(
+            stepped.join(closure.select("src", "dst"),
+                         on=["src", "dst"], how="left_anti"),
+            checkpoint_dir, f"tc_round_{i}")
         if new.isEmpty():
             break
         closure = closure.unionByName(new)

@@ -320,6 +320,62 @@ def test_near_dup_clusters_and_corpus(spark):
     assert kept == [0, 4, 5, 7]
 
 
+def test_iterative_loops_parquet_checkpoint_mode(spark, tmp_path):
+    """checkpoint_dir mode: the iterative-loop helpers swap their per-round
+    localCheckpoint (executor-local, non-replicated) for reliable parquet
+    barriers — the cluster-scale substitution the loop docstrings promise.
+    Results must be identical in both modes, and the barrier files must
+    actually land on disk (proving the mode engaged)."""
+    import os
+
+    from codeontologypython_spark.functions.dedup import near_dup_clusters
+    from codeontologypython_spark.operators.linking import chase_aliases
+    from codeontologypython_spark.operators.relational import (
+        transitive_closure,
+    )
+
+    # transitive closure: 0->1->2->3 chain
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    d1 = str(tmp_path / "tc")
+    base = {(r["src"], r["dst"], r["depth"])
+            for r in transitive_closure(edges).collect()}
+    ckpt = {(r["src"], r["dst"], r["depth"])
+            for r in transitive_closure(edges, checkpoint_dir=d1).collect()}
+    assert base == ckpt and (0, 3, 3) in ckpt
+    assert any(n.startswith("tc_round_") for n in os.listdir(d1))
+
+    # connected components: chain + singleton
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(5)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "doc_a long, doc_b long")
+    d2 = str(tmp_path / "cc")
+    base = {(r["doc_id"], r["cluster_id"])
+            for r in near_dup_clusters(docs, pairs).collect()}
+    ckpt = {(r["doc_id"], r["cluster_id"])
+            for r in near_dup_clusters(docs, pairs,
+                                       checkpoint_dir=d2).collect()}
+    assert base == ckpt
+    assert any(n.startswith("cc_round_") for n in os.listdir(d2))
+
+    # alias chase: two-hop alias chain flattens in both modes
+    symtab = spark.createDataFrame(
+        [("m.target", "E1", "Class", "r", False)],
+        "fqn string, eid string, kind string, repo string, via_alias boolean")
+    mentions = spark.createDataFrame(
+        [("r", "a.one", "alias", ["m.target"]),
+         ("r", "a.two", "alias", ["a.one"])],
+        "repo string, subj string, kind string, candidates array<string>")
+    d3 = str(tmp_path / "al")
+    base = {(r["fqn"], r["eid"], r["via_alias"])
+            for r in chase_aliases(symtab, mentions).collect()}
+    ckpt = {(r["fqn"], r["eid"], r["via_alias"])
+            for r in chase_aliases(symtab, mentions,
+                                   checkpoint_dir=d3).collect()}
+    assert base == ckpt and ("a.two", "E1", True) in ckpt
+    assert any(n.startswith("alias_round_") for n in os.listdir(d3))
+
+
 def test_repetition_ratio(spark):
     from codeontologypython_spark.functions.textops import repetition_ratio
     rows = [(0, "a b c a b c a b c"),      # "a b c" style repeats

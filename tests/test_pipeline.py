@@ -116,6 +116,40 @@ def test_apply_iris_shuffle_path_equivalence(spark, extracted, final_triples,
     assert a == b
 
 
+def test_literal_digest_dedup_equivalence(spark):
+    """dedup_literal_triples (digest-keyed, no byte shuffle) must produce
+    exactly the classic min-commit dedup's rows on every duplicate shape:
+    multi-commit duplicates, exact duplicate rows, and same-(subj,pred)
+    different-obj rows (both kept). The digest-group table must carry one
+    row per surviving triple (the own-literal IRI hash input contract)."""
+    from codeontologypython_spark.operators.canonicalize import (
+        dedup_literal_triples,
+        dedup_triples,
+    )
+    rows = [
+        # unique row
+        ("r", "c2", "e1", "p:name", "alpha", True),
+        # same (s,p,o) at two commits -> min-commit wins
+        ("r", "c5", "e2", "p:src", "def f(): pass", True),
+        ("r", "c1", "e2", "p:src", "def f(): pass", True),
+        # exact duplicate rows (same commit) -> collapse to one
+        ("r", "c3", "e3", "p:doc", "Doc.", True),
+        ("r", "c3", "e3", "p:doc", "Doc.", True),
+        # same (s,p), different obj -> BOTH kept
+        ("r", "c4", "e4", "p:name", "x", True),
+        ("r", "c4", "e4", "p:name", "y", True),
+    ]
+    schema = ("repo string, commit string, subj string, pred string, "
+              "obj string, obj_is_literal boolean")
+    lit = spark.createDataFrame(rows, schema)
+    got, groups = dedup_literal_triples(lit)
+    want = dedup_triples(lit)
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(got) == as_set(want)
+    assert ("r", "c1", "e2", "p:src", "def f(): pass", True) in as_set(got)
+    assert groups.count() == got.count() == 5
+
+
 def test_library_manifest_classification(final_triples):
     """S3 remnant (reference is_by_project, explore/__init__.py:188-231;
     init_library, individuals.py:720-731): dependency libraries stay named

@@ -405,3 +405,127 @@ def test_decontaminate(spark):
     assert got[0] == 4          # 4 shared 3-gram shingles
     assert 1 not in got         # clean doc untouched
     assert 2 not in got         # 2 shared shingles < min_shared=3
+
+
+def test_redact_pii(spark):
+    from codeontologypython_spark.functions.redact import pii_counts, redact_pii
+    rows = [(0, "mail bob.smith+x@corp.example.org or call +14155551234 now"),
+            (1, "server at 192.168.0.1 and 10.0.255.7 port 8080"),
+            (2, "fax 415-555-0199 reaches the office"),
+            (3, "no pii here at all")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cols = pii_counts(F.col("text"))
+    got = {r["doc_id"]: r for r in df.select(
+        "doc_id", redact_pii(F.col("text")).alias("red"),
+        *[c.alias(n) for n, c in cols.items()]).collect()}
+    assert got[0]["red"] == "mail [EMAIL] or call [PHONE] now"
+    assert (got[0]["n_emails"], got[0]["n_phones"]) == (1, 1)
+    assert got[1]["red"] == "server at [IP] and [IP] port 8080"
+    assert got[1]["n_ips"] == 2
+    assert got[2]["red"] == "fax [PHONE] reaches the office"
+    assert got[3]["red"] == "no pii here at all"
+    assert (got[3]["n_emails"], got[3]["n_ips"], got[3]["n_phones"]) == (0, 0, 0)
+
+
+def test_hash_sample_deterministic(spark):
+    from codeontologypython_spark.functions.sampling import hash_sample
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = sorted(r["doc_id"] for r in hash_sample(df, "doc_id", 0.3).collect())
+    b = sorted(r["doc_id"] for r in hash_sample(df, "doc_id", 0.3).collect())
+    assert a == b                          # bit-reproducible
+    assert 0.25 < len(a) / 2000 < 0.35     # ~fraction of rows kept
+    # monotone: a smaller fraction keeps a subset of a larger one
+    c = set(r["doc_id"] for r in hash_sample(df, "doc_id", 0.1).collect())
+    assert c <= set(a)
+
+
+def test_weighted_and_token_budget_sample(spark):
+    from codeontologypython_spark.functions.sampling import (
+        token_budget_fractions, token_budget_sample, weighted_sample)
+    rows = [(i, "w " * (10 if i % 2 == 0 else 40) + "end",
+             "small" if i % 2 == 0 else "big") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    w = spark.createDataFrame([("small", 1.0), ("big", 0.0)],
+                              "source string, fraction double")
+    kept = weighted_sample(df, w).collect()
+    assert kept and all(r["source"] == "small" for r in kept)
+    # token budget: "small" docs are 11 tokens, "big" 41; 200 docs each
+    fr = {r["source"]: r["fraction"]
+          for r in token_budget_fractions(df, 1100.0).collect()}
+    assert fr["small"] == pytest.approx(1100 / (200 * 11))
+    assert fr["big"] == pytest.approx(1100 / (200 * 41))
+    out = token_budget_sample(df, 1100.0)
+    tok = (out.groupBy("source")
+           .agg(F.sum(F.size(F.split("text", r"\s+"))).alias("t")).collect())
+    for r in tok:  # expected kept tokens ~ budget per source (loose: n=200)
+        assert 300 < r["t"] < 2400
+
+
+def test_span_dedup_chunks_and_paragraphs(spark):
+    from codeontologypython_spark.functions.spandedup import (
+        paragraphs_col, span_dedup, token_chunks_col)
+    rows = [(0, "a b c d e f"),        # chunks: "a b c", "d e f"
+            (1, "a b c x y z"),        # first chunk dup of doc 0
+            (2, "a b c d e f"),        # fully duplicated -> empty
+            (3, "")]                   # no tokens -> no spans
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in span_dedup(
+        df, token_chunks_col(F.col("text"), 3)).collect()}
+    assert got[0]["text_clean"] == "a b c d e f"
+    assert (got[1]["text_clean"], got[1]["n_removed"]) == ("x y z", 1)
+    assert (got[2]["text_clean"], got[2]["n_kept"], got[2]["n_removed"]) \
+        == ("", 0, 2)
+    assert (got[3]["text_clean"], got[3]["n_removed"]) == ("", 0)
+
+    pdf = spark.createDataFrame(
+        [(0, "intro\n\nbody text\n\noutro"), (1, "body text\n\nfresh end")],
+        "doc_id long, text string")
+    pg = {r["doc_id"]: r for r in span_dedup(
+        pdf, paragraphs_col(F.col("text")), join_sep="\n\n").collect()}
+    assert pg[0]["text_clean"] == "intro\n\nbody text\n\noutro"
+    assert pg[1]["text_clean"] == "fresh end"
+    assert pg[1]["n_removed"] == 1
+
+
+def test_pack_sequences(spark):
+    from codeontologypython_spark.functions.packing import pack_sequences
+    rows = [(i, "w " * (i % 7 + 4)) for i in range(60)]  # 4..10 tokens + tail
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, ctx_len=16, n_buckets=2).collect()
+    assert len(out) == 60
+    by_bucket = {}
+    for r in sorted(out, key=lambda r: (r["bucket"], r["doc_id"])):
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert set(by_bucket) == {0, 1}
+    for rows_b in by_bucket.values():
+        start = 0
+        for r in rows_b:  # greedy stream semantics within each bucket
+            assert r["seq_id"] == start // 16
+            assert r["offset"] == start % 16
+            start += r["n_tokens"]
+    # deterministic: same assignment on re-run
+    again = pack_sequences(df, ctx_len=16, n_buckets=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_curate_end_to_end(spark):
+    from codeontologypython_spark.functions.curation import curate
+    good = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away to find a quiet place to rest.")
+    good2 = ("a small red bird sits on the high branch and sings a soft "
+             "song in the morning light for everyone.")
+    leaked = ("we review the exam question about spark shuffles and then we "
+              "talk for a long while about the answer key.")
+    docs = spark.createDataFrame(
+        [(0, good, "s"), (1, good, "s"), (2, good2, "s"),
+         (3, "x y z", "s"), (4, leaked, "s")],
+        "doc_id long, text string, source string")
+    bench = spark.createDataFrame(
+        [(100, "the exam question about spark shuffles")],
+        "doc_id long, text string")
+    weights = spark.createDataFrame([("s", 1.0)],
+                                    "source string, fraction double")
+    out, counts = curate(docs, benchmark=bench, weights=weights)
+    assert counts == {"input": 5, "quality_gate": 4, "exact_dedup": 3,
+                      "decontaminated": 2, "mixed": 2}
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 2]

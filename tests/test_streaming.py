@@ -201,3 +201,29 @@ def test_sessionize_group_chunk_order_invariant():
     out_of_order = run([[ev[2]], ev[:2]])
     assert sorted_one.equals(out_of_order)
     assert list(sorted_one["n_events"]) == [2, 1]
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """Streaming exact dedup: a content re-delivered in a LATER file (own
+    micro-batch via maxFilesPerTrigger=1) is dropped by carried state."""
+    import datetime
+
+    from codeontologypython_spark.streaming.dedupstream import (
+        run_dedup_stream)
+    src = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ck")
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    schema = "doc_id long, ts timestamp, text string, source string"
+    spark.createDataFrame(
+        [(0, t0, "alpha beta", "s"), (1, t0, "gamma delta", "s")],
+        schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(2, t0, "alpha beta", "s"), (3, t0, "epsilon zeta", "s")],
+        schema).coalesce(1).write.mode("append").parquet(src)
+
+    out = run_dedup_stream(spark, src, ckpt).collect()
+    assert len(out) == 3                       # the re-delivery is dropped
+    assert {r["text"] for r in out} == {"alpha beta", "gamma delta",
+                                        "epsilon zeta"}
+    kept_alpha = [r for r in out if r["text"] == "alpha beta"]
+    assert len(kept_alpha) == 1                # exactly one representative

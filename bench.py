@@ -34,6 +34,14 @@ HEADLINE = [
     "q_ngram_jaccard",
     "q_minhash_lsh",
     "q_knn_cosine",
+    # round-4 training-pipeline operators (additive keys — earlier-round
+    # BENCH files simply lack them)
+    "q_pii_redact",
+    "q_normalize_text",
+    "q_weighted_mix",
+    "q_token_budget_mix",
+    "q_pack_sequences",
+    "q_span_dedup",
 ]
 
 KG_FILES = int(os.environ.get("SPARK_GRAFT_KG_FILES", "12000"))

@@ -113,6 +113,25 @@ def hash_hex_prefix_to_long(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
+# C4/CCNet-style normalization patterns — Java-regex/RE2 common subset,
+# shared verbatim with the DuckDB oracle (raw strings: the \xNN escapes are
+# interpreted by the regex engines, not by Python)
+CONTROL_CHARS_RE = r"[\x00-\x08\x0B-\x1F\x7F]"   # keep \n (\x0A) and \t
+HSPACE_RUN_RE = r"[ \t]+"
+NEWLINE_RUN_RE = r"\n{3,}"
+
+
+def normalize_text(text: Column) -> Column:
+    """Pre-training text normalization (C4/CCNet-style): strip control
+    characters (newline/tab survive), collapse horizontal-whitespace runs to
+    one space, cap blank-line runs at one, trim. Expression-only — no
+    shuffle, no Python."""
+    out = F.regexp_replace(text, CONTROL_CHARS_RE, "")
+    out = F.regexp_replace(out, HSPACE_RUN_RE, " ")
+    out = F.regexp_replace(out, NEWLINE_RUN_RE, "\n\n")
+    return F.trim(out)
+
+
 def repetition_ratio(text: Column, n: int = 3) -> Column:
     """Intra-document repetition (Gopher/RefinedWeb-style quality signal):
     1 - distinct/total n-gram shingles. 0 = no repeated n-grams, ->1 =

@@ -1,0 +1,306 @@
+"""SPARQL basic-graph-pattern subset compiled to DataFrame joins over the
+(subj, pred, obj, obj_is_literal) triple table.
+
+The reference's published query surface IS SPARQL: its README tells users to
+load the N-Triples output "into third-party tools to query with SPARQL" and
+demonstrates the library-listing and class-star queries that way (reference
+``README.md:56-99``). This module makes that surface native: the same query
+text runs directly against the engine's distributed triple table — each
+triple pattern becomes a filtered scan, shared variables become equi-joins,
+and Catalyst handles join ordering / broadcast selection exactly as it does
+for the hand-written kg_* queries (which are this compiler's ground truth in
+tests and in the hash-backed ``kg_sparql_library_names`` oracle).
+
+Supported subset (the shapes the reference README exercises, plus the
+obvious conveniences):
+
+- ``PREFIX pfx: <iri>`` declarations; ``a`` for rdf:type
+- ``SELECT [DISTINCT] ?v ... | *``
+- ``WHERE { s p o . ... }`` basic graph patterns; terms are variables,
+  ``<full-iris>``, ``pfx:local`` names, or ``"string literals"``
+- ``OPTIONAL { ... }`` (single level) -> left outer join
+- ``FILTER regex(?v, "re")`` / ``FILTER (?v = term)`` / ``FILTER (?v != term)``
+- ``ORDER BY [ASC|DESC] ?v ...`` and ``LIMIT n``
+
+Scale notes: a constant predicate/subject/object lands in the parquet scan
+as a pushed filter; per-pattern scans are column-pruned to the variables
+used; join keys are the shared variables (IRI strings — uniform md5-derived
+content hashes, so no key skew); no pattern ever materializes the full
+table driver-side.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<string>"(?:[^"\\]|\\.)*")
+      | (?P<iri><[^>\s]+>)
+      | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
+      | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z_][A-Za-z0-9_]*)
+      | (?P<keyword>(?i:PREFIX|SELECT|DISTINCT|WHERE|OPTIONAL|FILTER|REGEX
+                     |ORDER|BY|ASC|DESC|LIMIT))(?![A-Za-z0-9_])
+      | (?P<a>a)(?![A-Za-z0-9_])
+      | (?P<decl>[A-Za-z_][A-Za-z0-9_-]*:)
+      | (?P<num>[0-9]+)
+      | (?P<punct>[{}().=!,*])
+      | (?P<ne>!=)
+    )""",
+    re.VERBOSE)
+
+
+def _tokenize(q: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    q = re.sub(r"#[^\n]*", "", q)  # comments
+    while i < len(q):
+        if q[i].isspace():
+            i += 1
+            continue
+        m = _TOKEN_RE.match(q, i)
+        if not m:
+            raise ValueError(f"SPARQL parse error at: {q[i:i+30]!r}")
+        kind = m.lastgroup
+        out.append((kind, m.group(kind)))
+        i = m.end()
+    return out
+
+
+@dataclass
+class _Pattern:
+    s: tuple[str, str]
+    p: tuple[str, str]
+    o: tuple[str, str]
+    optional: bool = False
+
+
+@dataclass
+class _Query:
+    select: list[str]
+    distinct: bool
+    patterns: list[_Pattern] = field(default_factory=list)
+    filters: list[tuple] = field(default_factory=list)
+    order_by: list[tuple[str, bool]] = field(default_factory=list)
+    limit: int | None = None
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+        self.prefixes: dict[str, str] = {"rdf": _RDF}
+
+    def _peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else ("eof", "")
+
+    def _next(self):
+        t = self._peek()
+        self.i += 1
+        return t
+
+    def _expect(self, kind: str, value: str | None = None):
+        k, v = self._next()
+        if k != kind or (value is not None and v.upper() != value.upper()
+                         and v != value):
+            raise ValueError(f"expected {value or kind}, got {v!r}")
+        return v
+
+    def _term(self) -> tuple[str, str]:
+        k, v = self._next()
+        if k == "var":
+            return ("var", v[1:])
+        if k == "iri":
+            return ("iri", v[1:-1])
+        if k == "pname":
+            pfx, local = v.split(":", 1)
+            if pfx not in self.prefixes:
+                raise ValueError(f"undeclared prefix {pfx!r}")
+            return ("iri", self.prefixes[pfx] + local)
+        if k == "a":
+            return ("iri", _RDF + "type")
+        if k == "string":
+            return ("lit", v[1:-1].replace('\\"', '"').replace("\\\\", "\\"))
+        raise ValueError(f"bad term {v!r}")
+
+    def parse(self) -> _Query:
+        while self._peek()[1].upper() == "PREFIX":
+            self._next()
+            decl = self._expect("decl")
+            iri = self._expect("iri")
+            self.prefixes[decl[:-1]] = iri[1:-1]
+        self._expect("keyword", "SELECT")
+        distinct = False
+        if self._peek()[1].upper() == "DISTINCT":
+            self._next()
+            distinct = True
+        select: list[str] = []
+        while True:
+            k, v = self._peek()
+            if k == "var":
+                select.append(v[1:])
+                self._next()
+            elif k == "punct" and v == "*":
+                select = []
+                self._next()
+                break
+            else:
+                break
+        q = _Query(select=select, distinct=distinct)
+        self._expect("keyword", "WHERE")
+        self._group(q, optional=False)
+        while True:
+            k, v = self._peek()
+            if v.upper() == "ORDER":
+                self._next()
+                self._expect("keyword", "BY")
+                while True:
+                    k2, v2 = self._peek()
+                    asc = True
+                    if v2.upper() in ("ASC", "DESC"):
+                        asc = v2.upper() == "ASC"
+                        self._next()
+                        self._expect("punct", "(")
+                        q.order_by.append((self._expect("var")[1:], asc))
+                        self._expect("punct", ")")
+                    elif k2 == "var":
+                        q.order_by.append((self._next()[1][1:], True))
+                    else:
+                        break
+            elif v.upper() == "LIMIT":
+                self._next()
+                q.limit = int(self._expect("num"))
+            elif k == "eof":
+                break
+            else:
+                raise ValueError(f"unexpected trailing token {v!r}")
+        return q
+
+    def _group(self, q: _Query, optional: bool) -> None:
+        self._expect("punct", "{")
+        while True:
+            k, v = self._peek()
+            if k == "punct" and v == "}":
+                self._next()
+                return
+            if k == "punct" and v == ".":
+                self._next()
+                continue
+            if v.upper() == "OPTIONAL":
+                if optional:
+                    raise ValueError("nested OPTIONAL not supported")
+                self._next()
+                self._group(q, optional=True)
+                continue
+            if v.upper() == "FILTER":
+                self._next()
+                q.filters.append(self._filter())
+                continue
+            q.patterns.append(
+                _Pattern(self._term(), self._term(), self._term(),
+                         optional=optional))
+
+    def _filter(self) -> tuple:
+        k, v = self._peek()
+        if v.upper() == "REGEX":
+            self._next()
+            self._expect("punct", "(")
+            var = self._expect("var")[1:]
+            self._expect("punct", ",")
+            pat = self._expect("string")[1:-1]
+            self._expect("punct", ")")
+            return ("regex", var, pat)
+        self._expect("punct", "(")
+        var = self._expect("var")[1:]
+        k, op = self._next()
+        if (k, op) == ("punct", "!"):
+            self._expect("punct", "=")
+            op = "!="
+        elif (k, op) == ("punct", "="):
+            op = "="
+        else:
+            raise ValueError(f"bad filter operator {op!r}")
+        term = self._term()
+        self._expect("punct", ")")
+        return ("cmp", var, op, term)
+
+
+def parse_sparql(query: str) -> _Query:
+    return _Parser(_tokenize(query)).parse()
+
+
+def _pattern_df(triples: DataFrame, pat: _Pattern) -> tuple[DataFrame, set]:
+    df = triples
+    cols, vars_ = [], set()
+    for col, (kind, val) in (("subj", pat.s), ("pred", pat.p), ("obj", pat.o)):
+        if kind == "var":
+            if val in vars_:   # repeated var within one pattern (?x p ?x)
+                first = next(c for c, (k2, v2) in
+                             zip(("subj", "pred", "obj"),
+                                 (pat.s, pat.p, pat.o))
+                             if k2 == "var" and v2 == val)
+                df = df.filter(F.col(col) == F.col(first))
+            else:
+                cols.append(F.col(col).alias(val))
+                vars_.add(val)
+        elif kind == "iri":
+            df = df.filter(F.col(col) == val)
+            if col == "obj":
+                df = df.filter(~F.col("obj_is_literal"))
+        else:  # literal
+            if col != "obj":
+                raise ValueError("string literals only valid in object position")
+            df = df.filter((F.col(col) == val) & F.col("obj_is_literal"))
+    return df.select(*cols), vars_
+
+
+def sparql_to_df(triples: DataFrame, query: str) -> DataFrame:
+    """Compile and run ``query`` against the triple table; returns a
+    DataFrame whose columns are the selected variables (without '?')."""
+    q = parse_sparql(query)
+    if not q.patterns:
+        raise ValueError("empty WHERE clause")
+    acc: DataFrame | None = None
+    bound: set[str] = set()
+    # required patterns first (OPTIONAL joins need their left side complete)
+    for pat in sorted(q.patterns, key=lambda p: p.optional):
+        df, vars_ = _pattern_df(triples, pat)
+        if acc is None:
+            if pat.optional:
+                raise ValueError("query has only OPTIONAL patterns")
+            acc, bound = df, set(vars_)
+            continue
+        on = sorted(bound & vars_)
+        if pat.optional:
+            if not on:
+                raise ValueError("OPTIONAL pattern shares no variable")
+            acc = acc.join(df, on, "left")
+        else:
+            acc = acc.join(df, on) if on else acc.crossJoin(df)
+        bound |= vars_
+    for flt in q.filters:
+        if flt[0] == "regex":
+            acc = acc.filter(F.col(flt[1]).rlike(flt[2]))
+        else:
+            _, var, op, (kind, val) = flt
+            rhs = F.col(val) if kind == "var" else F.lit(val)
+            acc = acc.filter(F.col(var) == rhs if op == "="
+                             else F.col(var) != rhs)
+    select = q.select or sorted(bound)
+    missing = [v for v in select if v not in bound]
+    if missing:
+        raise ValueError(f"unbound select variables: {missing}")
+    acc = acc.select(*select)
+    if q.distinct:
+        acc = acc.distinct()
+    if q.order_by:
+        acc = acc.orderBy(*[F.col(v).asc() if asc else F.col(v).desc()
+                            for v, asc in q.order_by])
+    if q.limit is not None:
+        acc = acc.limit(q.limit)
+    return acc

@@ -529,3 +529,52 @@ def test_curate_end_to_end(spark):
     assert counts == {"input": 5, "quality_gate": 4, "exact_dedup": 3,
                       "decontaminated": 2, "mixed": 2}
     assert sorted(r["doc_id"] for r in out.collect()) == [0, 2]
+
+
+def test_normalize_text(spark):
+    from codeontologypython_spark.functions.textops import normalize_text
+    rows = [(0, "  a\x01b\t\tc   d \x7f "),
+            (1, "one\n\n\n\n\ntwo"),
+            (2, "clean text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", normalize_text(F.col("text")).alias("n")).collect()}
+    assert got[0] == "ab c d"           # ctrl stripped, runs collapsed, trim
+    assert got[1] == "one\n\ntwo"       # blank-line run capped
+    assert got[2] == "clean text"
+
+
+def test_span_dedup_randomized_vs_pure_python(spark):
+    """200 seeded random word-soup docs: Spark span_dedup must agree with a
+    direct pure-Python first-occurrence fold on every field."""
+    import random
+
+    from codeontologypython_spark.functions.spandedup import (span_dedup,
+                                                              token_chunks_col)
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(0, 25))))
+            for i in range(200)]
+
+    def chunks(text, w=3):
+        toks = [t for t in text.split() if t]
+        return [" ".join(toks[i:i + w]) for i in range(0, len(toks), w)]
+
+    seen, expected = set(), {}
+    for did, text in docs:                      # doc_id order == first-seen
+        kept = []
+        n_spans = 0
+        for sp in chunks(text):
+            n_spans += 1
+            if sp not in seen:
+                seen.add(sp)
+                kept.append(sp)
+        expected[did] = (" ".join(kept), len(kept), n_spans - len(kept))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = span_dedup(df, token_chunks_col(F.col("text"), 3)).collect()
+    assert len(out) == 200
+    for r in out:
+        assert (r["text_clean"], r["n_kept"], r["n_removed"]) \
+            == expected[r["doc_id"]], r["doc_id"]

@@ -1,0 +1,116 @@
+"""SPARQL-BGP-subset compiler tests (plans/sparql.py): parsing, joins,
+OPTIONAL, FILTER, ordering, and equality with the hand-written kg query on
+the live pipeline (the hash-backed receipt is kg_sparql_library_names)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from codeontologypython_spark.plans.sparql import parse_sparql, sparql_to_df
+
+WOC = "http://rdf.webofcode.org/woc/"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    rows = [
+        ("e1", RDF_TYPE, WOC + "Class", False),
+        ("e1", WOC + "hasName", "Dog", True),
+        ("e1", WOC + "extends", "e2", False),
+        ("e2", RDF_TYPE, WOC + "Class", False),
+        ("e2", WOC + "hasName", "Animal", True),
+        ("m1", RDF_TYPE, WOC + "Method", False),
+        ("m1", WOC + "hasName", "bark", True),
+        ("m1", WOC + "isMethodOf", "e1", False),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_literal boolean"
+    ).cache()
+
+
+def test_parse_readme_query():
+    q = parse_sparql("""
+        prefix woc: <http://rdf.webofcode.org/woc/>
+        SELECT DISTINCT ?n_lib
+        WHERE { ?lib rdf:type woc:Library . ?lib woc:hasName ?n_lib . }
+    """)
+    assert q.select == ["n_lib"] and q.distinct
+    assert len(q.patterns) == 2
+    assert q.patterns[0].p == ("iri", RDF_TYPE)
+    assert q.patterns[0].o == ("iri", WOC + "Library")
+
+
+def test_bgp_join_and_a_keyword(spark, triples):
+    out = sparql_to_df(triples, """
+        prefix woc: <http://rdf.webofcode.org/woc/>
+        SELECT ?name WHERE { ?c a woc:Class . ?c woc:hasName ?name . }
+    """).collect()
+    assert sorted(r["name"] for r in out) == ["Animal", "Dog"]
+
+
+def test_literal_object_and_chain(spark, triples):
+    out = sparql_to_df(triples, """
+        prefix woc: <http://rdf.webofcode.org/woc/>
+        SELECT ?super WHERE {
+            ?c woc:hasName "Dog" . ?c woc:extends ?s .
+            ?s woc:hasName ?super .
+        }
+    """).collect()
+    assert [r["super"] for r in out] == ["Animal"]
+
+
+def test_optional_left_join(spark, triples):
+    out = {r["name"]: r["super"] for r in sparql_to_df(triples, """
+        prefix woc: <http://rdf.webofcode.org/woc/>
+        SELECT ?name ?super WHERE {
+            ?c a woc:Class . ?c woc:hasName ?name .
+            OPTIONAL { ?c woc:extends ?s . ?s woc:hasName ?super . }
+        }
+    """).collect()}
+    assert out == {"Dog": "Animal", "Animal": None}
+
+
+def test_filters_order_limit(spark, triples):
+    out = sparql_to_df(triples, """
+        prefix woc: <http://rdf.webofcode.org/woc/>
+        SELECT ?name WHERE {
+            ?x woc:hasName ?name . FILTER regex(?name, "^[A-Z]")
+            FILTER (?name != "Animal")
+        } ORDER BY ?name LIMIT 5
+    """).collect()
+    assert [r["name"] for r in out] == ["Dog"]
+
+
+def test_repeated_variable_in_pattern(spark, triples):
+    # nothing extends itself -> empty
+    out = sparql_to_df(triples, """
+        prefix woc: <http://rdf.webofcode.org/woc/>
+        SELECT ?c WHERE { ?c woc:extends ?c . }
+    """).collect()
+    assert out == []
+
+
+def test_errors(spark, triples):
+    with pytest.raises(ValueError, match="undeclared prefix"):
+        sparql_to_df(triples, 'SELECT ?x WHERE { ?x nope:thing ?y . }')
+    with pytest.raises(ValueError, match="unbound select"):
+        sparql_to_df(triples, """
+            prefix woc: <http://rdf.webofcode.org/woc/>
+            SELECT ?zzz WHERE { ?x woc:hasName ?y . }
+        """)
+    with pytest.raises(ValueError, match="only OPTIONAL"):
+        sparql_to_df(triples, """
+            prefix woc: <http://rdf.webofcode.org/woc/>
+            SELECT ?x WHERE { OPTIONAL { ?x woc:hasName ?y . } }
+        """)
+
+
+def test_sparql_matches_handwritten_kg_query(spark):
+    """The README SPARQL text through the compiler == the hand-written
+    DataFrame query, on the LIVE fixture pipeline output."""
+    import __spark_entry__ as entry_mod
+    a = {r["library_name"] for r in entry_mod.queries()
+         ["kg_sparql_library_names"](spark, None).collect()}
+    b = {r["library_name"] for r in entry_mod.queries()
+         ["kg_library_names"](spark, None).collect()}
+    assert a == b and len(a) == 9

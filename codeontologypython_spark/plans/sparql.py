@@ -15,7 +15,8 @@ Supported subset (the shapes the reference README exercises, plus the
 obvious conveniences):
 
 - ``PREFIX pfx: <iri>`` declarations; ``a`` for rdf:type
-- ``SELECT [DISTINCT] ?v ... | *``
+- ``SELECT [DISTINCT] ?v ... | *``; aggregate projections
+  ``(COUNT(*) AS ?n)`` / ``(COUNT(?v) AS ?n)`` with ``GROUP BY ?v ...``
 - ``WHERE { s p o . ... }`` basic graph patterns; terms are variables,
   ``<full-iris>``, ``pfx:local`` names, or ``"string literals"``
 - ``OPTIONAL { ... }`` (single level) -> left outer join
@@ -46,7 +47,8 @@ _TOKEN_RE = re.compile(
       | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
       | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z_][A-Za-z0-9_]*)
       | (?P<keyword>(?i:PREFIX|SELECT|DISTINCT|WHERE|OPTIONAL|FILTER|REGEX
-                     |ORDER|BY|ASC|DESC|LIMIT))(?![A-Za-z0-9_])
+                     |ORDER|GROUP|BY|ASC|DESC|LIMIT|COUNT|AS|ISLITERAL))
+        (?![A-Za-z0-9_])
       | (?P<a>a)(?![A-Za-z0-9_])
       | (?P<decl>[A-Za-z_][A-Za-z0-9_-]*:)
       | (?P<num>[0-9]+)
@@ -86,6 +88,10 @@ class _Query:
     distinct: bool
     patterns: list[_Pattern] = field(default_factory=list)
     filters: list[tuple] = field(default_factory=list)
+    # (alias, counted_var | None-for-*) aggregate projections, in the
+    # position they appeared within the SELECT list
+    aggregates: list[tuple[str, str | None]] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)
     order_by: list[tuple[str, bool]] = field(default_factory=list)
     limit: int | None = None
 
@@ -140,18 +146,37 @@ class _Parser:
             self._next()
             distinct = True
         select: list[str] = []
+        aggregates: list[tuple[str, str | None]] = []
         while True:
             k, v = self._peek()
             if k == "var":
                 select.append(v[1:])
                 self._next()
+            elif k == "punct" and v == "(":
+                # ( COUNT( * | ?v ) AS ?alias )
+                self._next()
+                self._expect("keyword", "COUNT")
+                self._expect("punct", "(")
+                k2, v2 = self._next()
+                if (k2, v2) == ("punct", "*"):
+                    counted = None
+                elif k2 == "var":
+                    counted = v2[1:]
+                else:
+                    raise ValueError(f"bad COUNT argument {v2!r}")
+                self._expect("punct", ")")
+                self._expect("keyword", "AS")
+                alias = self._expect("var")[1:]
+                self._expect("punct", ")")
+                select.append(alias)
+                aggregates.append((alias, counted))
             elif k == "punct" and v == "*":
                 select = []
                 self._next()
                 break
             else:
                 break
-        q = _Query(select=select, distinct=distinct)
+        q = _Query(select=select, distinct=distinct, aggregates=aggregates)
         self._expect("keyword", "WHERE")
         self._group(q, optional=False)
         while True:
@@ -172,6 +197,11 @@ class _Parser:
                         q.order_by.append((self._next()[1][1:], True))
                     else:
                         break
+            elif v.upper() == "GROUP":
+                self._next()
+                self._expect("keyword", "BY")
+                while self._peek()[0] == "var":
+                    q.group_by.append(self._next()[1][1:])
             elif v.upper() == "LIMIT":
                 self._next()
                 q.limit = int(self._expect("num"))
@@ -205,6 +235,19 @@ class _Parser:
                 _Pattern(self._term(), self._term(), self._term(),
                          optional=optional))
 
+    def _is_literal_filter(self) -> tuple:
+        # [!] isLiteral(?v)  — the '(' of any enclosing FILTER(...) is
+        # consumed by the caller
+        negated = False
+        if self._peek() == ("punct", "!"):
+            self._next()
+            negated = True
+        self._expect("keyword", "ISLITERAL")
+        self._expect("punct", "(")
+        var = self._expect("var")[1:]
+        self._expect("punct", ")")
+        return ("isliteral", var, negated)
+
     def _filter(self) -> tuple:
         k, v = self._peek()
         if v.upper() == "REGEX":
@@ -215,7 +258,17 @@ class _Parser:
             pat = self._expect("string")[1:-1]
             self._expect("punct", ")")
             return ("regex", var, pat)
+        if v.upper() == "ISLITERAL":
+            return self._is_literal_filter()
         self._expect("punct", "(")
+        k2, v2 = self._peek()
+        if v2 == "!" or v2.upper() == "ISLITERAL":
+            # probe: '!' here is either !isLiteral or != comparison; a
+            # comparison starts with a var, so '!' or ISLITERAL first means
+            # the isLiteral form
+            flt = self._is_literal_filter()
+            self._expect("punct", ")")
+            return flt
         var = self._expect("var")[1:]
         k, op = self._next()
         if (k, op) == ("punct", "!"):
@@ -234,11 +287,18 @@ def parse_sparql(query: str) -> _Query:
     return _Parser(_tokenize(query)).parse()
 
 
-def _pattern_df(triples: DataFrame, pat: _Pattern) -> tuple[DataFrame, set]:
+def _pattern_df(triples: DataFrame, pat: _Pattern,
+                lit_req: dict[str, bool]) -> tuple[DataFrame, set]:
     df = triples
     cols, vars_ = [], set()
     for col, (kind, val) in (("subj", pat.s), ("pred", pat.p), ("obj", pat.o)):
         if kind == "var":
+            if col == "obj" and val in lit_req:
+                # isLiteral(?v) constraints push down into every scan where
+                # the variable sits in object position (the only position
+                # that carries the flag; literals can never be subjects or
+                # predicates, handled in sparql_to_df)
+                df = df.filter(F.col("obj_is_literal") == lit_req[val])
             if val in vars_:   # repeated var within one pattern (?x p ?x)
                 first = next(c for c, (k2, v2) in
                              zip(("subj", "pred", "obj"),
@@ -265,11 +325,15 @@ def sparql_to_df(triples: DataFrame, query: str) -> DataFrame:
     q = parse_sparql(query)
     if not q.patterns:
         raise ValueError("empty WHERE clause")
+    lit_req = {f[1]: not f[2] for f in q.filters if f[0] == "isliteral"}
+    q.filters = [f for f in q.filters if f[0] != "isliteral"]
+    subj_pred_vars = {v for p in q.patterns
+                      for (k, v) in (p.s, p.p) if k == "var"}
     acc: DataFrame | None = None
     bound: set[str] = set()
     # required patterns first (OPTIONAL joins need their left side complete)
     for pat in sorted(q.patterns, key=lambda p: p.optional):
-        df, vars_ = _pattern_df(triples, pat)
+        df, vars_ = _pattern_df(triples, pat, lit_req)
         if acc is None:
             if pat.optional:
                 raise ValueError("query has only OPTIONAL patterns")
@@ -283,6 +347,13 @@ def sparql_to_df(triples: DataFrame, query: str) -> DataFrame:
         else:
             acc = acc.join(df, on) if on else acc.crossJoin(df)
         bound |= vars_
+    for var, must_lit in lit_req.items():
+        if var not in bound:
+            raise ValueError(f"isLiteral filter on unbound variable ?{var}")
+        if must_lit and var in subj_pred_vars:
+            # a variable also bound in subject/predicate position can never
+            # be a literal: the constraint is unsatisfiable
+            acc = acc.filter(F.lit(False))
     for flt in q.filters:
         if flt[0] == "regex":
             acc = acc.filter(F.col(flt[1]).rlike(flt[2]))
@@ -292,9 +363,23 @@ def sparql_to_df(triples: DataFrame, query: str) -> DataFrame:
             acc = acc.filter(F.col(var) == rhs if op == "="
                              else F.col(var) != rhs)
     select = q.select or sorted(bound)
-    missing = [v for v in select if v not in bound]
+    agg_names = {a for a, _ in q.aggregates}
+    missing = [v for v in select if v not in bound and v not in agg_names]
     if missing:
         raise ValueError(f"unbound select variables: {missing}")
+    if q.aggregates:
+        for g in q.group_by:
+            if g not in bound:
+                raise ValueError(f"GROUP BY on unbound variable ?{g}")
+        bad = [v for v in select
+               if v not in agg_names and v not in q.group_by]
+        if bad:
+            raise ValueError(f"selected variables not in GROUP BY: {bad}")
+        aggs = [(F.count("*") if counted is None
+                 else F.count(F.col(counted))).alias(alias)
+                for alias, counted in q.aggregates]
+        acc = (acc.groupBy(*q.group_by).agg(*aggs)
+               if q.group_by else acc.agg(*aggs))
     acc = acc.select(*select)
     if q.distinct:
         acc = acc.distinct()

@@ -114,3 +114,73 @@ def test_sparql_matches_handwritten_kg_query(spark):
     b = {r["library_name"] for r in entry_mod.queries()
          ["kg_library_names"](spark, None).collect()}
     assert a == b and len(a) == 9
+
+
+def test_aggregate_group_by(spark, triples):
+    out = {r["p"]: r["n"] for r in sparql_to_df(triples, """
+        prefix woc: <http://rdf.webofcode.org/woc/>
+        SELECT ?p (COUNT(*) AS ?n)
+        WHERE { ?s ?p ?o . } GROUP BY ?p
+    """).collect()}
+    assert out[RDF_TYPE] == 3
+    assert out[WOC + "hasName"] == 3
+    assert out[WOC + "extends"] == 1
+
+
+def test_aggregate_count_var_and_global(spark, triples):
+    # COUNT(?super) over an OPTIONAL: nulls are not counted
+    [r] = sparql_to_df(triples, """
+        prefix woc: <http://rdf.webofcode.org/woc/>
+        SELECT (COUNT(?super) AS ?n_sub) WHERE {
+            ?c a woc:Class . OPTIONAL { ?c woc:extends ?super . }
+        }
+    """).collect()
+    assert r["n_sub"] == 1
+    with pytest.raises(ValueError, match="not in GROUP BY"):
+        sparql_to_df(triples, """
+            prefix woc: <http://rdf.webofcode.org/woc/>
+            SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o . }
+        """)
+
+
+def test_sparql_class_star_matches_handwritten(spark):
+    import __spark_entry__ as entry_mod
+    a = {(r["pred"], r["n"]) for r in entry_mod.queries()
+         ["kg_sparql_class_star"](spark, None).collect()}
+    b = {(r["pred"], r["n"]) for r in entry_mod.queries()
+         ["kg_class_star"](spark, None).collect()}
+    assert a == b and len(a) == 16
+
+
+def test_isliteral_filter(spark, triples):
+    # literal-valued properties of Dog only
+    out = sparql_to_df(triples, """
+        prefix woc: <http://rdf.webofcode.org/woc/>
+        SELECT ?v WHERE {
+            ?c woc:hasName "Dog" . ?c ?p ?v . FILTER isLiteral(?v)
+        }
+    """).collect()
+    assert [r["v"] for r in out] == ["Dog"]
+    # non-literal objects of Dog: its type IRI and its superclass
+    out2 = sparql_to_df(triples, """
+        prefix woc: <http://rdf.webofcode.org/woc/>
+        SELECT ?v WHERE {
+            ?c woc:hasName "Dog" . ?c ?p ?v . FILTER (!isLiteral(?v))
+        }
+    """).collect()
+    assert sorted(r["v"] for r in out2) == ["e2", WOC + "Class"]
+    # unsatisfiable: a subject-position var required to be a literal
+    out3 = sparql_to_df(triples, """
+        prefix woc: <http://rdf.webofcode.org/woc/>
+        SELECT ?c WHERE { ?c woc:hasName ?n . FILTER isLiteral(?c) }
+    """).collect()
+    assert out3 == []
+
+
+def test_sparql_deep_star_matches_handwritten(spark):
+    import __spark_entry__ as entry_mod
+    a = {(r["pred1"], r["pred2"], r["n"]) for r in entry_mod.queries()
+         ["kg_sparql_class_star_deep"](spark, None).collect()}
+    b = {(r["pred1"], r["pred2"], r["n"]) for r in entry_mod.queries()
+         ["kg_class_star_deep"](spark, None).collect()}
+    assert a == b and len(a) == 117

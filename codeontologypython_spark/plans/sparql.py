@@ -60,7 +60,10 @@ _TOKEN_RE = re.compile(
 
 def _tokenize(q: str) -> list[tuple[str, str]]:
     out, i = [], 0
-    q = re.sub(r"#[^\n]*", "", q)  # comments
+    # full-line comments only: '#' also appears inside IRIs
+    # (…rdf-syntax-ns#type), so inline comments are not supported
+    q = "\n".join(line for line in q.split("\n")
+                  if not line.lstrip().startswith("#"))
     while i < len(q):
         if q[i].isspace():
             i += 1

@@ -184,3 +184,16 @@ def test_sparql_deep_star_matches_handwritten(spark):
     b = {(r["pred1"], r["pred2"], r["n"]) for r in entry_mod.queries()
          ["kg_class_star_deep"](spark, None).collect()}
     assert a == b and len(a) == 117
+
+
+def test_full_line_comments_and_hash_iris(spark, triples):
+    # '#' lives inside rdf IRIs, so only FULL-LINE comments are stripped
+    out = sparql_to_df(triples, """
+        # list class names
+        prefix r: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        SELECT ?name WHERE {
+            ?c r:type <http://rdf.webofcode.org/woc/Class> .
+            ?c <http://rdf.webofcode.org/woc/hasName> ?name .
+        }
+    """).collect()
+    assert sorted(r["name"] for r in out) == ["Animal", "Dog"]

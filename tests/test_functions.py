@@ -578,3 +578,29 @@ def test_span_dedup_randomized_vs_pure_python(spark):
     for r in out:
         assert (r["text_clean"], r["n_kept"], r["n_removed"]) \
             == expected[r["doc_id"]], r["doc_id"]
+
+
+def test_unigram_logprob(spark):
+    import math
+
+    from codeontologypython_spark.functions.lm import (unigram_doc_scores,
+                                                       unigram_model)
+    # corpus: 4x "a", 2x "b", 2x "c" -> p(a)=1/2, p(b)=p(c)=1/4
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "a a b c"), (2, "c"), (3, "")],
+        "doc_id long, text string")
+    model = {r["word"]: r["logp_micro"]
+             for r in unigram_model(df).collect()}
+    assert model["a"] == round(math.log(0.5) * 1e8)
+    assert model["b"] == model["c"] == round(math.log(0.25) * 1e8)
+    got = {r["doc_id"]: r for r in unigram_doc_scores(df).collect()}
+    exp0 = round((2 * model["a"] + model["b"]) / 3 / 1e8, 4)
+    assert got[0]["avg_logprob"] == exp0
+    assert got[2]["avg_logprob"] == round(model["c"] / 1e8, 4)
+    assert got[3]["n_scored_tokens"] == 0
+    assert got[3]["avg_logprob"] is None
+    # scoring a different corpus against this model: joins drop OOV words
+    other = spark.createDataFrame([(9, "a zzz")], "doc_id long, text string")
+    [r] = unigram_doc_scores(other, model=unigram_model(df)).collect()
+    assert r["n_scored_tokens"] == 1           # zzz is OOV, not scored
+    assert r["avg_logprob"] == round(model["a"] / 1e8, 4)

@@ -9,8 +9,10 @@ Design:
 - the model IS a DataFrame: (word, logp_micro) from one groupBy over the
   exploded corpus — at 10^12 tokens the vocab table shuffles fine and the
   scoring join is a plain hash join on the word key (NOT broadcast — web
-  vocabularies don't fit); the two-row total/vocab aggregate joins on a
-  constant key (broadcast hash join, never a nested-loop cross);
+  vocabularies don't fit); the corpus token total is ONE bounded
+  ``count()`` job folded in as a literal (a 1-row constant-key join gets
+  constant-folded into a nested-loop cross, which the physical-plan gate
+  rightly bans);
 - **integer micro-log-probs**: ln(c/total) is rounded to 1e-8 and stored as
   a BIGINT. Summing doubles across Spark partitions is
   accumulation-order-dependent; summing integers is exact and
@@ -34,18 +36,16 @@ MICRO = 100_000_000  # 1e8: micro-log-prob quantization
 
 def unigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, logp_micro) unigram table: logp_micro =
-    round(ln(count/total) * 1e8) as BIGINT. One shuffle (word counts) plus
-    a broadcast of the single-row total."""
+    round(ln(count/total) * 1e8) as BIGINT. One shuffle (word counts); the
+    scalar total is a bounded eager ``count()`` (one long to the driver)
+    folded into the expression as a literal."""
     words = docs.select(F.explode(tokens_col(F.col(text_col))).alias("word"))
+    total = words.count()
     counts = words.groupBy("word").agg(F.count("*").alias("c"))
-    total = (counts.agg(F.sum("c").alias("total"))
-             .withColumn("k", F.lit(1)))
-    return (counts.withColumn("k", F.lit(1))
-            .join(F.broadcast(total), "k")
-            .select("word",
-                    F.round(F.log(F.col("c").cast("double")
-                                  / F.col("total").cast("double")) * MICRO)
-                    .cast("long").alias("logp_micro")))
+    return counts.select(
+        "word",
+        F.round(F.log(F.col("c").cast("double") / F.lit(float(total)))
+                * MICRO).cast("long").alias("logp_micro"))
 
 
 def unigram_doc_scores(docs: DataFrame, model: DataFrame | None = None,

@@ -53,7 +53,6 @@ _TOKEN_RE = re.compile(
       | (?P<decl>[A-Za-z_][A-Za-z0-9_-]*:)
       | (?P<num>[0-9]+)
       | (?P<punct>[{}().=!,*])
-      | (?P<ne>!=)
     )""",
     re.VERBOSE)
 

@@ -197,3 +197,90 @@ def test_full_line_comments_and_hash_iris(spark, triples):
         }
     """).collect()
     assert sorted(r["name"] for r in out) == ["Animal", "Dog"]
+
+
+def test_randomized_bgp_vs_naive_evaluator(spark):
+    """15 seeded random (graph, BGP) cases: the compiler must agree with a
+    direct pure-Python pattern-matching evaluator on the full binding set."""
+    import random
+
+    rng = random.Random(7)
+    X = "http://x/"
+
+    def naive(triples, patterns, select):
+        bindings = [{}]
+        for s_t, p_t, o_t in patterns:
+            out = []
+            for b in bindings:
+                for (s, p, o, lit) in triples:
+                    b2 = dict(b)
+                    ok = True
+                    for (kind, val), cell, is_obj in (
+                            (s_t, s, False), (p_t, p, False), (o_t, o, True)):
+                        if kind == "var":
+                            if b2.get(val, cell) != cell:
+                                ok = False
+                                break
+                            b2[val] = cell
+                        elif kind == "iri":
+                            if cell != val or (is_obj and lit):
+                                ok = False
+                                break
+                        else:  # literal
+                            if cell != val or not (is_obj and lit):
+                                ok = False
+                                break
+                    if ok:
+                        out.append(b2)
+            bindings = out
+        return {tuple(b[v] for v in select) for b in bindings}
+
+    def term_sql(kind, val):
+        if kind == "var":
+            return "?" + val
+        if kind == "iri":
+            return f"<{val}>"
+        return f'"{val}"'
+
+    for case in range(15):
+        triples = set()
+        while len(triples) < rng.randrange(20, 50):
+            s = X + f"e{rng.randrange(6)}"
+            p = X + f"p{rng.randrange(4)}"
+            if rng.random() < 0.5:
+                triples.add((s, p, X + f"e{rng.randrange(6)}", False))
+            else:
+                triples.add((s, p, f"w{rng.randrange(5)}", True))
+        triples = sorted(triples)
+
+        def rand_term(pos, used_vars):
+            r = rng.random()
+            if r < 0.55:
+                v = f"v{rng.randrange(3)}"
+                used_vars.add(v)
+                return ("var", v)
+            if pos == "o" and r < 0.75:
+                return ("lit", f"w{rng.randrange(5)}")
+            if pos == "s":
+                return ("iri", X + f"e{rng.randrange(6)}")
+            if pos == "p":
+                return ("iri", X + f"p{rng.randrange(4)}")
+            return ("iri", X + f"e{rng.randrange(6)}")
+
+        used = set()
+        patterns = [tuple(rand_term(pos, used) for pos in "spo")
+                    for _ in range(rng.randrange(2, 4))]
+        if not used:
+            continue
+        select = sorted(used)
+        sparql = ("SELECT DISTINCT " + " ".join("?" + v for v in select)
+                  + " WHERE { "
+                  + " . ".join(" ".join(term_sql(*t) for t in pat)
+                               for pat in patterns) + " . }")
+        df = spark.createDataFrame(
+            triples,
+            "subj string, pred string, obj string, obj_is_literal boolean")
+        got = {tuple(r[v] for v in select)
+               for r in sparql_to_df(df, sparql).collect()}
+        want = naive(triples, patterns, select)
+        assert got == want, (case, sparql, got ^ want)

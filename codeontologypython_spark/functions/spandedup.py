@@ -13,6 +13,11 @@ Scale-first:
   never a row_number window (CLAUDE.md pitfall 5);
 - three span-sized shuffles total: groupBy(hash), the hash-equi join back,
   and the per-doc reassembly; nothing is O(n^2) and nothing collects;
+- the exploded span stream is deliberately NOT persisted even though two
+  consumers recompute it (the first-occurrence agg and the join-back): at
+  corpus scale the exploded stream is the size of the corpus itself, and
+  re-running a split+posexplode over the scan is far cheaper than caching
+  it (measured: recompute costs ~0 at sf0.1, 5.1 s best-of-3 total);
 - reassembly carries (pos, span) structs and sorts per-doc arrays JVM-side
   (``array_sort`` on structs orders by the leading pos field).
 

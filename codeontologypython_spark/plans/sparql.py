@@ -20,7 +20,11 @@ obvious conveniences):
 - ``WHERE { s p o . ... }`` basic graph patterns; terms are variables,
   ``<full-iris>``, ``pfx:local`` names, or ``"string literals"``
 - ``OPTIONAL { ... }`` (single level) -> left outer join
+- ``{ A } UNION { B } [UNION { C }…]`` (one block per group, not nested;
+  outer patterns distribute into every branch; unbound branch variables
+  come back null) -> null-padded unionByName
 - ``FILTER regex(?v, "re")`` / ``FILTER (?v = term)`` / ``FILTER (?v != term)``
+  / ``FILTER [!]isLiteral(?v)``
 - ``ORDER BY [ASC|DESC] ?v ...`` and ``LIMIT n``
 
 Scale notes: a constant predicate/subject/object lands in the parquet scan
@@ -47,8 +51,8 @@ _TOKEN_RE = re.compile(
       | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
       | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z_][A-Za-z0-9_]*)
       | (?P<keyword>(?i:PREFIX|SELECT|DISTINCT|WHERE|OPTIONAL|FILTER|REGEX
-                     |ORDER|GROUP|BY|ASC|DESC|LIMIT|COUNT|AS|ISLITERAL))
-        (?![A-Za-z0-9_])
+                     |ORDER|GROUP|BY|ASC|DESC|LIMIT|COUNT|AS|ISLITERAL
+                     |UNION))(?![A-Za-z0-9_])
       | (?P<a>a)(?![A-Za-z0-9_])
       | (?P<decl>[A-Za-z_][A-Za-z0-9_-]*:)
       | (?P<num>[0-9]+)
@@ -88,14 +92,25 @@ class _Pattern:
 class _Query:
     select: list[str]
     distinct: bool
-    patterns: list[_Pattern] = field(default_factory=list)
-    filters: list[tuple] = field(default_factory=list)
+    # UNION alternatives: each branch is an independent BGP with its own
+    # patterns and filters; a query without UNION has exactly one branch
+    # (``patterns``/``filters`` mirror branch 0 for convenience)
+    branches: list[tuple[list[_Pattern], list[tuple]]] = \
+        field(default_factory=list)
     # (alias, counted_var | None-for-*) aggregate projections, in the
     # position they appeared within the SELECT list
     aggregates: list[tuple[str, str | None]] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
     order_by: list[tuple[str, bool]] = field(default_factory=list)
     limit: int | None = None
+
+    @property
+    def patterns(self) -> list[_Pattern]:
+        return self.branches[0][0] if self.branches else []
+
+    @property
+    def filters(self) -> list[tuple]:
+        return self.branches[0][1] if self.branches else []
 
 
 class _Parser:
@@ -180,7 +195,13 @@ class _Parser:
                 break
         q = _Query(select=select, distinct=distinct, aggregates=aggregates)
         self._expect("keyword", "WHERE")
-        self._group(q, optional=False)
+        pats, flts, unions = self._group(optional=False)
+        if unions:
+            # join distributes over union: outer patterns/filters replicate
+            # into every branch
+            q.branches = [(pats + up, flts + uf) for up, uf in unions]
+        else:
+            q.branches = [(pats, flts)]
         while True:
             k, v = self._peek()
             if v.upper() == "ORDER":
@@ -213,27 +234,56 @@ class _Parser:
                 raise ValueError(f"unexpected trailing token {v!r}")
         return q
 
-    def _group(self, q: _Query, optional: bool) -> None:
+    def _group(self, optional: bool,
+               into: tuple[list, list] | None = None
+               ) -> tuple[list, list, list]:
+        """Parse one {...} group. Returns (patterns, filters, unions) where
+        ``unions`` is non-empty iff the group contains a
+        ``{A} UNION {B} [UNION {C}…]`` block — each element is that
+        branch's own (patterns, filters)."""
+        patterns, filters = into if into is not None else ([], [])
+        unions: list[tuple[list, list]] = []
         self._expect("punct", "{")
         while True:
             k, v = self._peek()
             if k == "punct" and v == "}":
                 self._next()
-                return
+                return (patterns, filters, unions)
             if k == "punct" and v == ".":
                 self._next()
+                continue
+            if k == "punct" and v == "{":
+                if optional:
+                    raise ValueError("UNION inside OPTIONAL not supported")
+                subs = []
+                while True:
+                    sp, sf, su = self._group(optional=False)
+                    if su:
+                        raise ValueError("nested UNION not supported")
+                    subs.append((sp, sf))
+                    if self._peek()[1].upper() == "UNION":
+                        self._next()
+                        continue
+                    break
+                if len(subs) == 1:  # plain nested group: inline it
+                    patterns.extend(subs[0][0])
+                    filters.extend(subs[0][1])
+                elif unions:
+                    raise ValueError("only one UNION block per group")
+                else:
+                    unions = subs
                 continue
             if v.upper() == "OPTIONAL":
                 if optional:
                     raise ValueError("nested OPTIONAL not supported")
                 self._next()
-                self._group(q, optional=True)
+                self._group(optional=True, into=(patterns, filters))
                 continue
             if v.upper() == "FILTER":
                 self._next()
-                q.filters.append(self._filter())
+                filters.append(self._filter())
                 continue
-            q.patterns.append(
+            patterns.append(
                 _Pattern(self._term(), self._term(), self._term(),
                          optional=optional))
 
@@ -321,20 +371,18 @@ def _pattern_df(triples: DataFrame, pat: _Pattern,
     return df.select(*cols), vars_
 
 
-def sparql_to_df(triples: DataFrame, query: str) -> DataFrame:
-    """Compile and run ``query`` against the triple table; returns a
-    DataFrame whose columns are the selected variables (without '?')."""
-    q = parse_sparql(query)
-    if not q.patterns:
-        raise ValueError("empty WHERE clause")
-    lit_req = {f[1]: not f[2] for f in q.filters if f[0] == "isliteral"}
-    q.filters = [f for f in q.filters if f[0] != "isliteral"]
-    subj_pred_vars = {v for p in q.patterns
+def _compile_bgp(triples: DataFrame, patterns: list[_Pattern],
+                 filters: list[tuple]) -> tuple[DataFrame, set[str]]:
+    """Compile one basic graph pattern (a UNION branch, or the whole WHERE
+    clause when there is no UNION) to a DataFrame of variable bindings."""
+    lit_req = {f[1]: not f[2] for f in filters if f[0] == "isliteral"}
+    filters = [f for f in filters if f[0] != "isliteral"]
+    subj_pred_vars = {v for p in patterns
                       for (k, v) in (p.s, p.p) if k == "var"}
     acc: DataFrame | None = None
     bound: set[str] = set()
     # required patterns first (OPTIONAL joins need their left side complete)
-    for pat in sorted(q.patterns, key=lambda p: p.optional):
+    for pat in sorted(patterns, key=lambda p: p.optional):
         df, vars_ = _pattern_df(triples, pat, lit_req)
         if acc is None:
             if pat.optional:
@@ -356,7 +404,7 @@ def sparql_to_df(triples: DataFrame, query: str) -> DataFrame:
             # a variable also bound in subject/predicate position can never
             # be a literal: the constraint is unsatisfiable
             acc = acc.filter(F.lit(False))
-    for flt in q.filters:
+    for flt in filters:
         if flt[0] == "regex":
             acc = acc.filter(F.col(flt[1]).rlike(flt[2]))
         else:
@@ -364,6 +412,31 @@ def sparql_to_df(triples: DataFrame, query: str) -> DataFrame:
             rhs = F.col(val) if kind == "var" else F.lit(val)
             acc = acc.filter(F.col(var) == rhs if op == "="
                              else F.col(var) != rhs)
+    return acc, bound
+
+
+def sparql_to_df(triples: DataFrame, query: str) -> DataFrame:
+    """Compile and run ``query`` against the triple table; returns a
+    DataFrame whose columns are the selected variables (without '?')."""
+    q = parse_sparql(query)
+    if not any(pats for pats, _ in q.branches):
+        raise ValueError("empty WHERE clause")
+    compiled = [_compile_bgp(triples, pats, flts)
+                for pats, flts in q.branches]
+    if len(compiled) == 1:
+        acc, bound = compiled[0]
+    else:
+        # UNION: pad each branch to the union of variables (unbound -> null,
+        # standard SPARQL semantics), then unionByName
+        bound = set().union(*(b for _, b in compiled))
+        all_vars = sorted(bound)
+        padded = [df.select(*[(F.col(v) if v in b
+                               else F.lit(None).cast("string").alias(v))
+                              for v in all_vars])
+                  for df, b in compiled]
+        acc = padded[0]
+        for p in padded[1:]:
+            acc = acc.unionByName(p)
     select = q.select or sorted(bound)
     agg_names = {a for a, _ in q.aggregates}
     missing = [v for v in select if v not in bound and v not in agg_names]

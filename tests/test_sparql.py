@@ -284,3 +284,35 @@ def test_randomized_bgp_vs_naive_evaluator(spark):
                for r in sparql_to_df(df, sparql).collect()}
         want = naive(triples, patterns, select)
         assert got == want, (case, sparql, got ^ want)
+
+
+def test_union(spark, triples):
+    # names of classes UNION names of methods
+    out = sparql_to_df(triples, """
+        prefix woc: <http://rdf.webofcode.org/woc/>
+        SELECT DISTINCT ?name WHERE {
+            { ?c a woc:Class . ?c woc:hasName ?name . }
+            UNION
+            { ?m a woc:Method . ?m woc:hasName ?name . }
+        }
+    """).collect()
+    assert sorted(r["name"] for r in out) == ["Animal", "Dog", "bark"]
+    # branches with DIFFERENT variables: unbound side comes back null
+    rows = sparql_to_df(triples, """
+        prefix woc: <http://rdf.webofcode.org/woc/>
+        SELECT ?cls ?meth WHERE {
+            { ?x a woc:Class . ?x woc:hasName ?cls . }
+            UNION
+            { ?x a woc:Method . ?x woc:hasName ?meth . }
+        }
+    """).collect()
+    got = {(r["cls"], r["meth"]) for r in rows}
+    assert got == {("Dog", None), ("Animal", None), (None, "bark")}
+    # UNION composes with aggregation
+    [r] = sparql_to_df(triples, """
+        prefix woc: <http://rdf.webofcode.org/woc/>
+        SELECT (COUNT(*) AS ?n) WHERE {
+            { ?c a woc:Class . } UNION { ?m a woc:Method . }
+        }
+    """).collect()
+    assert r["n"] == 3

@@ -316,3 +316,105 @@ def test_union(spark, triples):
         }
     """).collect()
     assert r["n"] == 3
+
+
+def test_randomized_union_vs_naive_evaluator(spark):
+    """10 seeded random two-branch UNION queries: compiler output must equal
+    the union of per-branch naive evaluations, null-padded to the shared
+    variable set."""
+    import random
+
+    rng = random.Random(11)
+    X = "http://x/"
+
+    def naive_branch(triples, patterns):
+        bindings = [{}]
+        for s_t, p_t, o_t in patterns:
+            out = []
+            for b in bindings:
+                for (s, p, o, lit) in triples:
+                    b2 = dict(b)
+                    ok = True
+                    for (kind, val), cell, is_obj in (
+                            (s_t, s, False), (p_t, p, False), (o_t, o, True)):
+                        if kind == "var":
+                            if b2.get(val, cell) != cell:
+                                ok = False
+                                break
+                            b2[val] = cell
+                        elif kind == "iri":
+                            if cell != val or (is_obj and lit):
+                                ok = False
+                                break
+                        else:
+                            if cell != val or not (is_obj and lit):
+                                ok = False
+                                break
+                    if ok:
+                        out.append(b2)
+            bindings = out
+        return bindings
+
+    def term_sql(kind, val):
+        if kind == "var":
+            return "?" + val
+        if kind == "iri":
+            return f"<{val}>"
+        return f'"{val}"'
+
+    for case in range(10):
+        triples = set()
+        while len(triples) < rng.randrange(15, 40):
+            s = X + f"e{rng.randrange(5)}"
+            p = X + f"p{rng.randrange(3)}"
+            if rng.random() < 0.5:
+                triples.add((s, p, X + f"e{rng.randrange(5)}", False))
+            else:
+                triples.add((s, p, f"w{rng.randrange(4)}", True))
+        triples = sorted(triples)
+
+        def rand_pattern(used):
+            pat = []
+            for pos in "spo":
+                r = rng.random()
+                if r < 0.6:
+                    v = f"v{rng.randrange(3)}"
+                    used.add(v)
+                    pat.append(("var", v))
+                elif pos == "o" and r < 0.8:
+                    pat.append(("lit", f"w{rng.randrange(4)}"))
+                elif pos == "p":
+                    pat.append(("iri", X + f"p{rng.randrange(3)}"))
+                else:
+                    pat.append(("iri", X + f"e{rng.randrange(5)}"))
+            return tuple(pat)
+
+        branches, all_vars = [], set()
+        for _ in range(2):
+            used = set()
+            branch = [rand_pattern(used)
+                      for _ in range(rng.randrange(1, 3))]
+            if not used:
+                branch = [(("var", "v0"),) + branch[0][1:]]
+                used = {"v0"}
+            branches.append((branch, used))
+            all_vars |= used
+        select = sorted(all_vars)
+
+        sparql = ("SELECT DISTINCT " + " ".join("?" + v for v in select)
+                  + " WHERE { "
+                  + " UNION ".join(
+                      "{ " + " . ".join(" ".join(term_sql(*t) for t in pat)
+                                        for pat in br) + " . }"
+                      for br, _ in branches)
+                  + " }")
+        want = set()
+        for br, used in branches:
+            for b in naive_branch(triples, br):
+                want.add(tuple(b.get(v) for v in select))
+        df = spark.createDataFrame(
+            triples,
+            "subj string, pred string, obj string, obj_is_literal boolean")
+        got = {tuple(r[v] for v in select)
+               for r in sparql_to_df(df, sparql).collect()}
+        assert got == want, (case, sparql, got ^ want)

@@ -19,12 +19,23 @@ obvious conveniences):
   ``(COUNT(*) AS ?n)`` / ``(COUNT(?v) AS ?n)`` with ``GROUP BY ?v ...``
 - ``WHERE { s p o . ... }`` basic graph patterns; terms are variables,
   ``<full-iris>``, ``pfx:local`` names, or ``"string literals"``
-- ``OPTIONAL { ... }`` (single level) -> left outer join
+- property paths in predicate position: sequence ``p1/p2/...`` and inverse
+  ``^p`` steps over constant IRIs (``?c woc:hasPackage/woc:hasName ?n``) —
+  each step compiles to the same self-join the hand-written 2-hop queries
+  use, with untypeable internal join variables excluded from ``SELECT *``
+- ``OPTIONAL { ... }`` (single level) -> the WHOLE group compiled as one
+  sub-BGP (its patterns inner-joined, its filters applied inside) and
+  left-joined on the variables shared with the required part — standard
+  SPARQL group semantics: if any pattern of the group fails, every
+  variable the group binds comes back unbound (null). Filters inside an
+  OPTIONAL may only reference variables the group itself binds; a filter
+  on an outer-only variable raises (the LeftJoin-expr form is unsupported)
 - ``{ A } UNION { B } [UNION { C }…]`` (one block per group, not nested;
   outer patterns distribute into every branch; unbound branch variables
   come back null) -> null-padded unionByName
 - ``FILTER regex(?v, "re")`` / ``FILTER (?v = term)`` / ``FILTER (?v != term)``
-  / ``FILTER [!]isLiteral(?v)``
+  / ``FILTER [!]isLiteral(?v)`` (contradictory polarities on one variable
+  short-circuit the branch to empty, matching SPARQL's unsatisfiable set)
 - ``ORDER BY [ASC|DESC] ?v ...`` and ``LIMIT n``
 
 Scale notes: a constant predicate/subject/object lands in the parquet scan
@@ -56,7 +67,7 @@ _TOKEN_RE = re.compile(
       | (?P<a>a)(?![A-Za-z0-9_])
       | (?P<decl>[A-Za-z_][A-Za-z0-9_-]*:)
       | (?P<num>[0-9]+)
-      | (?P<punct>[{}().=!,*])
+      | (?P<punct>[{}().=!,*/^])
     )""",
     re.VERBOSE)
 
@@ -85,7 +96,6 @@ class _Pattern:
     s: tuple[str, str]
     p: tuple[str, str]
     o: tuple[str, str]
-    optional: bool = False
 
 
 @dataclass
@@ -93,9 +103,12 @@ class _Query:
     select: list[str]
     distinct: bool
     # UNION alternatives: each branch is an independent BGP with its own
-    # patterns and filters; a query without UNION has exactly one branch
-    # (``patterns``/``filters`` mirror branch 0 for convenience)
-    branches: list[tuple[list[_Pattern], list[tuple]]] = \
+    # (patterns, filters, optional-groups); each optional group is itself a
+    # (patterns, filters) unit left-joined as a whole. A query without
+    # UNION has exactly one branch (``patterns``/``filters``/``optionals``
+    # mirror branch 0 for convenience).
+    branches: list[tuple[list[_Pattern], list[tuple],
+                         list[tuple[list[_Pattern], list[tuple]]]]] = \
         field(default_factory=list)
     # (alias, counted_var | None-for-*) aggregate projections, in the
     # position they appeared within the SELECT list
@@ -103,6 +116,10 @@ class _Query:
     group_by: list[str] = field(default_factory=list)
     order_by: list[tuple[str, bool]] = field(default_factory=list)
     limit: int | None = None
+    # parser-generated join variables from property-path expansion —
+    # excluded from SELECT * (untypeable: they don't match the ?var lexer
+    # rule, so user queries can never reference them)
+    internal_vars: set[str] = field(default_factory=set)
 
     @property
     def patterns(self) -> list[_Pattern]:
@@ -112,12 +129,24 @@ class _Query:
     def filters(self) -> list[tuple]:
         return self.branches[0][1] if self.branches else []
 
+    @property
+    def optionals(self) -> list[tuple[list[_Pattern], list[tuple]]]:
+        return self.branches[0][2] if self.branches else []
+
 
 class _Parser:
     def __init__(self, tokens: list[tuple[str, str]]):
         self.toks = tokens
         self.i = 0
         self.prefixes: dict[str, str] = {"rdf": _RDF}
+        self.internal_vars: set[str] = set()
+
+    def _fresh_var(self) -> str:
+        # leading digit makes the name unmatchable by the ?var lexer rule,
+        # so path-internal variables can never collide with user variables
+        v = f"0pp{len(self.internal_vars)}"
+        self.internal_vars.add(v)
+        return v
 
     def _peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else ("eof", "")
@@ -195,13 +224,15 @@ class _Parser:
                 break
         q = _Query(select=select, distinct=distinct, aggregates=aggregates)
         self._expect("keyword", "WHERE")
-        pats, flts, unions = self._group(optional=False)
+        pats, flts, opts, unions = self._group(optional=False)
         if unions:
-            # join distributes over union: outer patterns/filters replicate
-            # into every branch
-            q.branches = [(pats + up, flts + uf) for up, uf in unions]
+            # join distributes over union: outer patterns/filters/optional
+            # groups replicate into every branch
+            q.branches = [(pats + up, flts + uf, opts + uo)
+                          for up, uf, uo in unions]
         else:
-            q.branches = [(pats, flts)]
+            q.branches = [(pats, flts, opts)]
+        q.internal_vars = self.internal_vars
         while True:
             k, v = self._peek()
             if v.upper() == "ORDER":
@@ -234,21 +265,24 @@ class _Parser:
                 raise ValueError(f"unexpected trailing token {v!r}")
         return q
 
-    def _group(self, optional: bool,
-               into: tuple[list, list] | None = None
-               ) -> tuple[list, list, list]:
-        """Parse one {...} group. Returns (patterns, filters, unions) where
-        ``unions`` is non-empty iff the group contains a
-        ``{A} UNION {B} [UNION {C}…]`` block — each element is that
-        branch's own (patterns, filters)."""
-        patterns, filters = into if into is not None else ([], [])
-        unions: list[tuple[list, list]] = []
+    def _group(self, optional: bool) -> tuple[list, list, list, list]:
+        """Parse one {...} group. Returns (patterns, filters, optionals,
+        unions). ``optionals`` holds each ``OPTIONAL { ... }`` group as its
+        own (patterns, filters) unit — compiled as one sub-BGP and
+        left-joined as a whole, per SPARQL group semantics. ``unions`` is
+        non-empty iff the group contains a ``{A} UNION {B} [UNION {C}…]``
+        block — each element is that branch's own (patterns, filters,
+        optionals)."""
+        patterns: list[_Pattern] = []
+        filters: list[tuple] = []
+        optionals: list[tuple[list, list]] = []
+        unions: list[tuple[list, list, list]] = []
         self._expect("punct", "{")
         while True:
             k, v = self._peek()
             if k == "punct" and v == "}":
                 self._next()
-                return (patterns, filters, unions)
+                return (patterns, filters, optionals, unions)
             if k == "punct" and v == ".":
                 self._next()
                 continue
@@ -257,10 +291,10 @@ class _Parser:
                     raise ValueError("UNION inside OPTIONAL not supported")
                 subs = []
                 while True:
-                    sp, sf, su = self._group(optional=False)
+                    sp, sf, so, su = self._group(optional=False)
                     if su:
                         raise ValueError("nested UNION not supported")
-                    subs.append((sp, sf))
+                    subs.append((sp, sf, so))
                     if self._peek()[1].upper() == "UNION":
                         self._next()
                         continue
@@ -268,6 +302,7 @@ class _Parser:
                 if len(subs) == 1:  # plain nested group: inline it
                     patterns.extend(subs[0][0])
                     filters.extend(subs[0][1])
+                    optionals.extend(subs[0][2])
                 elif unions:
                     raise ValueError("only one UNION block per group")
                 else:
@@ -277,15 +312,59 @@ class _Parser:
                 if optional:
                     raise ValueError("nested OPTIONAL not supported")
                 self._next()
-                self._group(optional=True, into=(patterns, filters))
+                op, of, oo, ou = self._group(optional=True)
+                if oo or ou:
+                    raise ValueError(
+                        "OPTIONAL/UNION inside OPTIONAL not supported")
+                optionals.append((op, of))
                 continue
             if v.upper() == "FILTER":
                 self._next()
                 filters.append(self._filter())
                 continue
-            patterns.append(
-                _Pattern(self._term(), self._term(), self._term(),
-                         optional=optional))
+            s = self._term()
+            steps = self._path()
+            o = self._term()
+            if len(steps) == 1 and not steps[0][1]:
+                patterns.append(_Pattern(s, steps[0][0], o))
+            else:
+                # property path: expand into a chain of patterns over
+                # fresh internal join variables; an inverse step swaps its
+                # pattern's subject/object
+                cur = s
+                for j, (term, inv) in enumerate(steps):
+                    nxt = (o if j == len(steps) - 1
+                           else ("var", self._fresh_var()))
+                    patterns.append(_Pattern(nxt, term, cur) if inv
+                                    else _Pattern(cur, term, nxt))
+                    cur = nxt
+
+    def _path(self) -> list[tuple[tuple[str, str], bool]]:
+        """Predicate position: a plain term (possibly a variable), or a
+        property path ``elt ('/' elt)*`` with ``elt := ['^'] iri`` —
+        sequence and inverse steps over constant IRIs (the SPARQL 1.1 path
+        subset whose expansion is pure self-joins; quantified forms ``*``/
+        ``+``/``?`` and alternatives ``|`` are not supported). Returns
+        [(term, inverted), ...]."""
+        steps: list[tuple[tuple[str, str], bool]] = []
+        while True:
+            inv = False
+            if self._peek() == ("punct", "^"):
+                self._next()
+                inv = True
+            term = self._term()
+            if term[0] == "var":
+                if inv or steps or self._peek() == ("punct", "/"):
+                    raise ValueError(
+                        "property path steps must be constant IRIs")
+                return [(term, False)]
+            if term[0] != "iri":
+                raise ValueError("property path steps must be constant IRIs")
+            steps.append((term, inv))
+            if self._peek() == ("punct", "/"):
+                self._next()
+                continue
+            return steps
 
     def _is_literal_filter(self) -> tuple:
         # [!] isLiteral(?v)  — the '(' of any enclosing FILTER(...) is
@@ -371,31 +450,32 @@ def _pattern_df(triples: DataFrame, pat: _Pattern,
     return df.select(*cols), vars_
 
 
-def _compile_bgp(triples: DataFrame, patterns: list[_Pattern],
-                 filters: list[tuple]) -> tuple[DataFrame, set[str]]:
-    """Compile one basic graph pattern (a UNION branch, or the whole WHERE
-    clause when there is no UNION) to a DataFrame of variable bindings."""
-    lit_req = {f[1]: not f[2] for f in filters if f[0] == "isliteral"}
+def _compile_required(triples: DataFrame, patterns: list[_Pattern],
+                      filters: list[tuple]) -> tuple[DataFrame, set[str]]:
+    """Compile an inner-join-only BGP (the required part of a branch, or
+    one OPTIONAL group's body) to a DataFrame of variable bindings."""
+    lit_req: dict[str, bool] = {}
+    unsat = False
+    for f in filters:
+        if f[0] != "isliteral":
+            continue
+        want = not f[2]
+        if lit_req.setdefault(f[1], want) != want:
+            # isLiteral(?v) AND !isLiteral(?v): the binding set is empty —
+            # short-circuit rather than letting last-writer-wins pick one
+            unsat = True
     filters = [f for f in filters if f[0] != "isliteral"]
     subj_pred_vars = {v for p in patterns
                       for (k, v) in (p.s, p.p) if k == "var"}
     acc: DataFrame | None = None
     bound: set[str] = set()
-    # required patterns first (OPTIONAL joins need their left side complete)
-    for pat in sorted(patterns, key=lambda p: p.optional):
+    for pat in patterns:
         df, vars_ = _pattern_df(triples, pat, lit_req)
         if acc is None:
-            if pat.optional:
-                raise ValueError("query has only OPTIONAL patterns")
             acc, bound = df, set(vars_)
             continue
         on = sorted(bound & vars_)
-        if pat.optional:
-            if not on:
-                raise ValueError("OPTIONAL pattern shares no variable")
-            acc = acc.join(df, on, "left")
-        else:
-            acc = acc.join(df, on) if on else acc.crossJoin(df)
+        acc = acc.join(df, on) if on else acc.crossJoin(df)
         bound |= vars_
     for var, must_lit in lit_req.items():
         if var not in bound:
@@ -403,8 +483,82 @@ def _compile_bgp(triples: DataFrame, patterns: list[_Pattern],
         if must_lit and var in subj_pred_vars:
             # a variable also bound in subject/predicate position can never
             # be a literal: the constraint is unsatisfiable
-            acc = acc.filter(F.lit(False))
+            unsat = True
+    if unsat:
+        acc = acc.filter(F.lit(False))
     for flt in filters:
+        if flt[0] == "regex":
+            acc = acc.filter(F.col(flt[1]).rlike(flt[2]))
+        else:
+            _, var, op, (kind, val) = flt
+            if var not in bound or (kind == "var" and val not in bound):
+                missing = var if var not in bound else val
+                raise ValueError(
+                    f"FILTER references unbound variable ?{missing}")
+            rhs = F.col(val) if kind == "var" else F.lit(val)
+            acc = acc.filter(F.col(var) == rhs if op == "="
+                             else F.col(var) != rhs)
+    return acc, bound
+
+
+def _compile_bgp(triples: DataFrame, patterns: list[_Pattern],
+                 filters: list[tuple],
+                 optionals: list[tuple[list[_Pattern], list[tuple]]],
+                 ) -> tuple[DataFrame, set[str]]:
+    """Compile one branch (a UNION alternative, or the whole WHERE clause
+    when there is no UNION): the required BGP, then each OPTIONAL group as
+    ONE left-joined sub-BGP. Group semantics: the group's patterns
+    inner-join and its filters apply INSIDE the group, so a partial match
+    (some patterns hold, others don't) binds nothing — every group
+    variable comes back null together, and a filtered-out group row never
+    eliminates the required-side row it left-joins onto."""
+    if not patterns:
+        raise ValueError("query has only OPTIONAL patterns")
+    # branch-level cmp/regex filters may reference variables an OPTIONAL
+    # group binds: those apply AFTER the left joins, where SQL null
+    # comparison semantics (null -> filter drops the row) coincide with
+    # SPARQL's eval-error-eliminates-row rule for unbound variables
+    req_vars = {v for p in patterns for (k, v) in (p.s, p.p, p.o)
+                if k == "var"}
+
+    def _refs(f: tuple) -> set[str]:
+        if f[0] in ("regex", "isliteral"):
+            return {f[1]}
+        return {f[1]} | ({f[3][1]} if f[3][0] == "var" else set())
+
+    post = [f for f in filters
+            if f[0] != "isliteral" and not _refs(f) <= req_vars]
+    acc, bound = _compile_required(triples, patterns,
+                                   [f for f in filters if f not in post])
+    # variables introduced by earlier OPTIONAL groups may be null; SQL null
+    # join keys never match, which diverges from SPARQL's unbound-is-
+    # compatible rule — refuse that shape loudly
+    nullable: set[str] = set()
+    for opats, oflts in optionals:
+        try:
+            sub, sub_bound = _compile_required(triples, opats, oflts)
+        except ValueError as e:
+            if "unbound variable" in str(e):
+                raise ValueError(
+                    "FILTER inside OPTIONAL may only reference variables "
+                    f"bound within the group ({e})") from e
+            raise
+        on = sorted(bound & sub_bound)
+        if not on:
+            raise ValueError("OPTIONAL group shares no variable")
+        conflict = sorted(set(on) & nullable)
+        if conflict:
+            raise ValueError(
+                "OPTIONAL group joins on variables an earlier OPTIONAL may "
+                f"have left unbound: {conflict}")
+        acc = acc.join(sub, on, "left")
+        nullable |= sub_bound - bound
+        bound |= sub_bound
+    for flt in post:
+        missing = sorted(_refs(flt) - bound)
+        if missing:
+            raise ValueError(
+                f"FILTER references unbound variable ?{missing[0]}")
         if flt[0] == "regex":
             acc = acc.filter(F.col(flt[1]).rlike(flt[2]))
         else:
@@ -419,10 +573,10 @@ def sparql_to_df(triples: DataFrame, query: str) -> DataFrame:
     """Compile and run ``query`` against the triple table; returns a
     DataFrame whose columns are the selected variables (without '?')."""
     q = parse_sparql(query)
-    if not any(pats for pats, _ in q.branches):
+    if not any(pats or opts for pats, _, opts in q.branches):
         raise ValueError("empty WHERE clause")
-    compiled = [_compile_bgp(triples, pats, flts)
-                for pats, flts in q.branches]
+    compiled = [_compile_bgp(triples, pats, flts, opts)
+                for pats, flts, opts in q.branches]
     if len(compiled) == 1:
         acc, bound = compiled[0]
     else:
@@ -437,7 +591,8 @@ def sparql_to_df(triples: DataFrame, query: str) -> DataFrame:
         acc = padded[0]
         for p in padded[1:]:
             acc = acc.unionByName(p)
-    select = q.select or sorted(bound)
+    # SELECT * excludes parser-generated property-path join variables
+    select = q.select or sorted(bound - q.internal_vars)
     agg_names = {a for a, _ in q.aggregates}
     missing = [v for v in select if v not in bound and v not in agg_names]
     if missing:

@@ -89,6 +89,17 @@ def dedup_literal_triples(lit: DataFrame) -> tuple[DataFrame, DataFrame]:
     hash input (identical multiset to hashing the deduped rows directly, so
     IRIs are byte-identical to the classic path). Falls back to classic
     dedup when the dup-key set exceeds ``_LIT_DUP_BROADCAST_MAX``.
+
+    Cache lifetime contract: the digest-group table is ``persist()``ed here
+    (it feeds the dup gate eagerly, then BOTH returned frames lazily — the
+    groups projection via compute_iris and, when duplicates exist, the
+    dup-key anti/semi joins), so it must stay cached until the caller
+    materializes the stage output; it cannot be unpersisted inside this
+    function or canonicalize_stage without recomputing the literal-stream
+    groupBy. ``run_pipeline`` / ``__spark_entry__`` release it (and every
+    other stage cache) with a delta-sweep of ``getPersistentRDDs`` right
+    after the stage-3 result lands; long-lived sessions calling
+    canonicalize_stage directly should do the same.
     """
     cols = ["repo", "commit", "subj", "pred", "obj", "obj_is_literal"]
     lit2 = lit.withColumn("digest", F.sha2("obj", 256))

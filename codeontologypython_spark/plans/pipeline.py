@@ -66,6 +66,14 @@ def run_pipeline(
     manifest: DataFrame | None = None,
 ) -> PipelineResult:
     t0 = time.time()
+    # every stage persist (split views here; entity/nonlit/iri_map/literal-
+    # digest caches inside canonicalize_stage) is dead once stage 3 lands on
+    # parquet — sweep exactly the caches THIS run created, so long-lived
+    # sessions (resume loops, query servers) don't accumulate one cached
+    # table per pipeline invocation. Caller-owned caches (ids captured
+    # before the run) are left alone.
+    _pre_cache_ids = {r.id() for r
+                      in spark.sparkContext._jsc.getPersistentRDDs().values()}
     s1_path = os.path.join(workdir, "stage1_extract")
     s3_path = os.path.join(workdir, "stage3_triples")
     nt_path = os.path.join(workdir, "triples_nt")
@@ -173,6 +181,10 @@ def run_pipeline(
         write_ntriples(final, nt_path)
 
     n = final.count()
+    # stage output is parquet-backed from here on: release this run's caches
+    for r in spark.sparkContext._jsc.getPersistentRDDs().values():
+        if r.id() not in _pre_cache_ids:
+            r.unpersist(False)
     return PipelineResult(triples_path, nt_path if write_nt else None,
                           lineage_path, n, time.time() - t0)
 

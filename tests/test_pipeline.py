@@ -220,6 +220,26 @@ def test_pipeline_resume(spark, source_files, tmp_path):
     assert lineage.filter(F.col("stage") == "extract").count() > 0
 
 
+def test_pipeline_releases_stage_caches(spark, source_files, tmp_path):
+    """ADVICE r4: every persist() a pipeline run creates (split views,
+    canonicalize entity/nonlit/iri_map and literal-digest tables) must be
+    swept once stage 3 lands — long-lived sessions (resume loops, query
+    servers) must not accumulate one set of dead cached tables per run.
+    Caller-owned caches from before the run stay untouched."""
+    from codeontologypython_spark.plans.pipeline import run_pipeline
+
+    jsc = spark.sparkContext._jsc
+    # source_files is the conftest's own .cache() — a caller-owned cache
+    source_files.count()
+    before = {r.id() for r in jsc.getPersistentRDDs().values()}
+    res = run_pipeline(spark, source_files, str(tmp_path / "wd"),
+                       write_nt=False)
+    assert res.n_triples > 0
+    after = {r.id() for r in jsc.getPersistentRDDs().values()}
+    assert after - before == set(), "pipeline leaked stage caches"
+    assert before <= after, "pipeline swept a caller-owned cache"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as entry_mod
     df = entry_mod.entry(spark)

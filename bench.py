@@ -11,6 +11,16 @@ Prints ONE JSON line:
    "kg": {"files": n, "files_per_sec": fps,
           "scaling": {"cpus_lo": 8, "fps_lo": ..., "cpus_hi": 32,
                       "fps_hi": ..., "efficiency": ...}}}
+
+Budget contract (the round-4 driver artifact was lost to a timeout, so this
+is load-bearing): phases run MOST-IMPORTANT-FIRST (headline queries ->
+realworld E2E -> extract scaling -> link scaling -> ceilings), a soft
+deadline ($SPARK_GRAFT_BUDGET_SEC, default 3300 s) skips remaining phases
+rather than overrunning, and a SIGTERM handler prints the partial JSON
+before dying — so even a hard driver timeout yields a parseable artifact
+with the phases that completed. Every phase runs in its own subprocess
+(JVM isolation, see _confined), so reordering cannot leak a phase's JVM
+into a later confined level.
 """
 
 from __future__ import annotations
@@ -54,10 +64,17 @@ KG_UNITS = int(os.environ.get("SPARK_GRAFT_KG_UNITS", "40"))
 # model-fit form of the north rule for the join-heavy half (stage 2/3
 # processes ~11k triples per file)
 KG_LINK_FILES = int(os.environ.get("SPARK_GRAFT_KG_LINK_FILES", "3200"))
-# 3 repeats: the full-job level (Arrow egress through local mode's single
-# shared JVM) shows 1.5x run-to-run spread at 32 cores (367-562 files/s
-# observed on identical code); best-of-3 recovers the uncontended rate
-KG_REPEATS = int(os.environ.get("SPARK_GRAFT_KG_REPEATS", "3"))
+# 2 repeats by default (was 3): the serial-floor and p_efficiency story is
+# established across rounds 3-4, so default sampling is sized to fit the
+# driver's ~1 h budget with margin; raise for quiet-box deep sampling
+KG_REPEATS = int(os.environ.get("SPARK_GRAFT_KG_REPEATS", "2"))
+# the 800-file mid link level refines the p_c baseline but is the single
+# most expensive optional phase (~7 min at defaults) — off by default, the
+# tiny level serves as the delta baseline instead (S cancels either way)
+KG_LINK_MID = os.environ.get("SPARK_GRAFT_KG_LINK_MID", "") not in ("", "0")
+# soft wall-clock budget: skip remaining phases (rather than overrun) once
+# elapsed time crosses this, so the driver's timeout never truncates stdout
+BUDGET_SEC = int(os.environ.get("SPARK_GRAFT_BUDGET_SEC", "3300"))
 
 
 def _noop_write(df):
@@ -90,6 +107,37 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 _BEST_OF_3 = {"q_ngram_jaccard", "q_minhash_lsh", "q_knn_cosine"}
+
+
+def run_headline(cpus: int, sf_dir: str) -> dict[str, float]:
+    """Headline-query session body (runs inside headline_confined's
+    subprocess — like every other phase, its JVM must die with its
+    process rather than contend with later confined scaling levels)."""
+    from codeontologypython_spark.session import get_spark
+
+    spark = get_spark(cpus=cpus, app_name="bench-queries")
+    queries = time_queries(spark, sf_dir)
+    spark.stop()
+    return queries
+
+
+def headline_confined(cpus: int, sf_dir: str) -> dict[str, float]:
+    import shutil
+    import subprocess
+
+    code = (
+        "import sys, json; sys.path.insert(0, %r)\n"
+        "from bench import run_headline\n"
+        "print('HQRESULT ' + json.dumps(run_headline(%d, %r)))\n"
+        % (os.path.dirname(os.path.abspath(__file__)), cpus, sf_dir))
+    cmd = [sys.executable, "-c", code]
+    if shutil.which("taskset") is not None and cpus < (os.cpu_count() or cpus):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    for line in out.stdout.splitlines():
+        if line.startswith("HQRESULT"):
+            return json.loads(line.split(" ", 1)[1])
+    raise RuntimeError(f"headline bench run failed: {out.stderr[-2000:]}")
 
 
 def kg_extract_run(cpus: int, n_files: int = KG_FILES,
@@ -279,12 +327,28 @@ def kg_realworld_run(cpus: int) -> dict | None:
         dt = time.time() - t0
         n_err = (spark.read.parquet(f"{workdir}/stage1_extract")
                  .filter(F.col("rec") == "err").count())
+        # query-surface timing on REAL data: the reference README's
+        # library-listing SPARQL (README.md:56-64) compiled by plans/sparql
+        # over the realworld triple table — the same text jobs/query.py
+        # serves from the CLI
+        from codeontologypython_spark.plans.sparql import sparql_to_df
+        triples = spark.read.parquet(res.triples_path)
+        sq = """
+        prefix woc: <http://rdf.webofcode.org/woc/>
+        SELECT DISTINCT ?n_lib
+        WHERE { ?lib rdf:type woc:Library . ?lib woc:hasName ?n_lib . }
+        """
+        t0 = time.time()
+        n_libs = sparql_to_df(triples, sq).count()
+        sparql_sec = time.time() - t0
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
     return {"files": len(rows), "seconds": round(dt, 1),
             "files_per_sec": round(len(rows) / dt, 1),
-            "n_triples": res.n_triples, "n_errors": n_err}
+            "n_triples": res.n_triples, "n_errors": n_err,
+            "sparql_query_sec": round(sparql_sec, 2),
+            "sparql_n_libraries": n_libs}
 
 
 def _confined(fn_name: str, cpus: int, repeats: int,
@@ -504,137 +568,199 @@ def _log(msg: str, t0: float) -> None:
 
 
 def main():
+    import signal
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-
-    from codeontologypython_spark.session import get_spark
     t_all = time.time()
 
-    # scaling evidence: same job, same input, N vs 4N cores, each level
-    # PINNED to its core count (kg_extract_confined docstring — an N-executor
-    # cluster is N cores total). The sandbox VM shows heavy run-to-run
-    # interference (wall times vary up to 3x at fixed config), so each level
-    # reports the best of KG_REPEATS runs — the closest observable to an
-    # uncontended node (see BASELINE.md).
+    scaling: dict = {}
+    results: dict = {
+        "metric": "headline_queries_plus_kg_extraction",
+        "value": None,
+        "unit": "sec",
+        "queries": None,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "kg": {"files": None, "files_per_sec": None,
+               "scaling": scaling, "realworld": None},
+    }
+    emitted = {"done": False}
+
+    def emit(partial: bool) -> None:
+        if emitted["done"]:
+            return
+        emitted["done"] = True
+        results["value"] = round(time.time() - t_all, 3)
+        if partial:
+            results["partial"] = True
+        print(json.dumps(results), flush=True)
+
+    # a driver-side timeout delivers SIGTERM: print the phases that DID
+    # complete as the one JSON line before dying, so the artifact survives.
+    # Forked children INHERIT this handler (the ceiling phases' mp.Pool
+    # terminates its workers with SIGTERM) — they must die silently, not
+    # write their own JSON copy onto the shared stdout
+    main_pid = os.getpid()
+
+    def _on_term(signum, frame):
+        if os.getpid() != main_pid:
+            os._exit(143)
+        _log("SIGTERM — emitting partial results", t_all)
+        emit(partial=True)
+        sys.exit(143)
+
+    signal.signal(signal.SIGTERM, _on_term)
+
+    # a phase that dies (a bad knob combination, an OOM'd subprocess) must
+    # not take the artifact with it: log, record, move on — the final JSON
+    # carries every phase that DID complete plus the error strings
+    phase_errors: dict[str, str] = {}
+
+    def run_phase(name: str, fn) -> None:
+        if time.time() - t_all > BUDGET_SEC:
+            _log(f"budget {BUDGET_SEC}s exceeded — skipping {name}", t_all)
+            return
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — artifact survival
+            _log(f"{name} FAILED: {e!r}", t_all)
+            phase_errors[name] = repr(e)
+
+    # ---- phase 1: headline queries (the round-over-round comparison the
+    # driver contract is built on — ALWAYS first, own subprocess) ----------
+    def phase_headline():
+        results["queries"] = headline_confined(cpus, sf_dir)
+        _log("headline queries done", t_all)
+
+    # ---- phase 2: real-world E2E — full 4-stage pipeline + a timed SPARQL
+    # query over the installed PySpark sources (own subprocess) ------------
+    def phase_realworld():
+        results["kg"]["realworld"] = kg_realworld_confined(32)
+        _log(f"realworld done ({results['kg']['realworld']})", t_all)
+
+    # ---- phase 3: extraction scaling — same job, same input, N vs 4N
+    # cores, each level PINNED to its core count (kg_extract_confined
+    # docstring — an N-executor cluster is N cores total). The sandbox VM
+    # shows heavy run-to-run interference (up to 3x at fixed config), so
+    # each level reports the best of its repeats (see BASELINE.md). -------
     lo_cpus, hi_cpus = 8, 32
     # the hi level's single run is ~4x cheaper AND noisier (shared-host
-    # interference hits short runs harder): give it proportionally more
-    # repeats so both levels spend comparable sampling time estimating
-    # their uncontended best
-    hi_repeats = KG_REPEATS * 2
-    n_files, t_lo = kg_extract_confined(lo_cpus, repeats=KG_REPEATS)
-    _log(f"extract lo done ({t_lo:.1f}s best)", t_all)
-    _, t_hi = kg_extract_confined(hi_cpus, repeats=hi_repeats)
-    _log(f"extract hi done ({t_hi:.1f}s best)", t_all)
-    fps_lo = n_files / t_lo
-    fps_hi = n_files / t_hi
-    efficiency = (fps_hi / fps_lo) / (hi_cpus / lo_cpus)
-    # compute-side scaling: excludes the local-mode-only shared-JVM ingest
-    # (per-executor on a real cluster) — see kg_extract_run docstring
-    _, u_lo = kg_extract_confined(lo_cpus, repeats=KG_REPEATS, udf_only=True)
-    _log(f"udf lo done ({u_lo:.1f}s best)", t_all)
-    _, u_hi = kg_extract_confined(hi_cpus, repeats=hi_repeats, udf_only=True)
-    _log(f"udf hi done ({u_hi:.1f}s best)", t_all)
-    udf_efficiency = ((n_files / u_hi) / (n_files / u_lo)) / (hi_cpus / lo_cpus)
+    # interference hits short runs harder): one extra repeat evens the
+    # sampling time
+    hi_repeats = KG_REPEATS + 1
 
-    # stage-2/3 scaling: the join-heavy link+canonicalize half (extraction
-    # pre-materialized, untimed) at three corpus sizes per confined level.
-    # wall(n, c) = S_c + n*p_c/c: the tiny level measures S_c DIRECTLY
-    # (P≈0 at 50 files), the mid→big delta isolates p_c with S factored
-    # out, and p_lo/p_hi is the parallel half's scaling efficiency — the
-    # number the north rule is about, free of the fixed per-job driver cost
-    # that dominates small-corpus walls. The unconfined 32-core levels need
-    # ALL cores free at once, so a busy window on this shared host hits them
-    # far harder than the confined 8-core levels (observed: best-of-3 draws
-    # 2.5x over quiet-box nominal); extra repeats buy more chances to land
-    # outside the window.
-    ln_tiny, ln_mid = 50, max(100, KG_LINK_FILES // 4)
-    link = {}
-    for cpus, reps in ((lo_cpus, max(1, KG_REPEATS - 1)),
-                       (hi_cpus, KG_REPEATS + 2)):
-        for n in (ln_tiny, ln_mid, KG_LINK_FILES):
-            _, t = _confined("kg_link_run", cpus, reps, n_files=n)
-            link[(cpus, n)] = t
-            _log(f"link {cpus}c/{n}f done ({t:.1f}s best)", t_all)
-    l_lo, l_hi = link[(lo_cpus, KG_LINK_FILES)], link[(hi_cpus, KG_LINK_FILES)]
-    ln_files = KG_LINK_FILES
-    link_efficiency = (l_lo / l_hi) / (hi_cpus / lo_cpus)
-    # direct serial-floor reading + per-file parallel core cost per level
-    link_s_lo, link_s_hi = link[(lo_cpus, ln_tiny)], link[(hi_cpus, ln_tiny)]
-    dn = KG_LINK_FILES - ln_mid
-    link_p_lo = (l_lo - link[(lo_cpus, ln_mid)]) * lo_cpus / dn
-    link_p_hi = (l_hi - link[(hi_cpus, ln_mid)]) * hi_cpus / dn
-    link_p_efficiency = (link_p_lo / link_p_hi) if link_p_hi > 0 else None
-    # the Spark-runtime analog of workload_ceiling: what a canonical
-    # shuffle/agg job achieves 8->32 on this box's single shared JVM
-    shuffle_ceiling = round(spark_shuffle_ceiling(lo_cpus, hi_cpus), 3)
-    _log(f"spark shuffle ceiling done ({shuffle_ceiling})", t_all)
+    def phase_extract_scaling():
+        n_files, t_lo = kg_extract_confined(lo_cpus, repeats=KG_REPEATS)
+        _log(f"extract lo done ({t_lo:.1f}s best)", t_all)
+        _, t_hi = kg_extract_confined(hi_cpus, repeats=hi_repeats)
+        _log(f"extract hi done ({t_hi:.1f}s best)", t_all)
+        fps_lo, fps_hi = n_files / t_lo, n_files / t_hi
+        results["kg"]["files"] = n_files
+        results["kg"]["files_per_sec"] = round(fps_hi, 1)
+        scaling.update({
+            "cpus_lo": lo_cpus, "fps_lo": round(fps_lo, 1),
+            "cpus_hi": hi_cpus, "fps_hi": round(fps_hi, 1),
+            "efficiency": round((fps_hi / fps_lo) / (hi_cpus / lo_cpus), 3),
+        })
+        # compute-side scaling: excludes the local-mode-only shared-JVM
+        # ingest (per-executor on a real cluster), kg_extract_run docstring
+        _, u_lo = kg_extract_confined(lo_cpus, repeats=KG_REPEATS,
+                                      udf_only=True)
+        _log(f"udf lo done ({u_lo:.1f}s best)", t_all)
+        _, u_hi = kg_extract_confined(hi_cpus, repeats=hi_repeats,
+                                      udf_only=True)
+        _log(f"udf hi done ({u_hi:.1f}s best)", t_all)
+        udf_eff = ((n_files / u_hi) / (n_files / u_lo)) / (hi_cpus / lo_cpus)
+        scaling.update({
+            "udf_fps_lo": round(n_files / u_lo, 1),
+            "udf_fps_hi": round(n_files / u_hi, 1),
+            "udf_efficiency": round(udf_eff, 3),
+        })
 
-    # real-world E2E: the full 4-stage pipeline over the installed PySpark
-    # sources (own subprocess, same JVM-isolation rule as every level)
-    realworld = kg_realworld_confined(hi_cpus)
-    _log(f"realworld done ({realworld})", t_all)
-
-    # ceilings next (multiprocessing only, no JVM), THEN the headline-query
-    # session: a SparkContext's JVM outlives spark.stop() until the python
-    # process exits, so running queries first would leave a multi-GB JVM
-    # contending with every confined scaling level
-    hw_eff = round(hw_ceiling(lo_cpus, hi_cpus), 3)
-    wc = round(workload_ceiling(lo_cpus, hi_cpus), 3)
-    _log("ceilings done", t_all)
-
-    spark = get_spark(cpus=cpus, app_name="bench-queries")
-    queries = time_queries(spark, sf_dir)
-    spark.stop()
-    _log("headline queries done", t_all)
-
-    total = round(time.time() - t_all, 3)
-    print(json.dumps({
-        "metric": "headline_queries_plus_kg_extraction",
-        "value": total,
-        "unit": "sec",
-        "queries": queries,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "kg": {
-            "files": n_files,
-            "files_per_sec": round(fps_hi, 1),
-            "scaling": {
-                "cpus_lo": lo_cpus, "fps_lo": round(fps_lo, 1),
-                "cpus_hi": hi_cpus, "fps_hi": round(fps_hi, 1),
-                "efficiency": round(efficiency, 3),
-                "udf_fps_lo": round(n_files / u_lo, 1),
-                "udf_fps_hi": round(n_files / u_hi, 1),
-                "udf_efficiency": round(udf_efficiency, 3),
-                "link_files": ln_files,
-                "link_fps_lo": round(ln_files / l_lo, 1),
-                "link_fps_hi": round(ln_files / l_hi, 1),
-                "link_efficiency": round(link_efficiency, 3),
-                # direct serial-floor reading: wall at 50 files (P≈0), per
-                # core count — core-count-invariance is the model's premise
-                "link_serial_lo_sec": round(link_s_lo, 1),
-                "link_serial_hi_sec": round(link_s_hi, 1),
-                # per-file parallel core cost from the mid→big delta (S
-                # cancels); their ratio is the parallel half's scaling
+    # ---- phase 4: stage-2/3 scaling — the join-heavy link+canonicalize
+    # half (extraction pre-materialized, untimed) at two corpus sizes per
+    # confined level. wall(n, c) = S_c + n*p_c/c: the tiny level measures
+    # S_c DIRECTLY (P≈0 at 50 files), the tiny→big delta isolates p_c with
+    # S factored out, and p_lo/p_hi is the parallel half's scaling
+    # efficiency — the quantity that grows with data, free of the fixed
+    # per-job driver cost that dominates small-corpus walls. The optional
+    # mid level ($SPARK_GRAFT_KG_LINK_MID=1) refines the delta baseline. --
+    def phase_link_scaling():
+        ln_tiny, ln_mid = 50, max(100, KG_LINK_FILES // 4)
+        sizes = sorted({ln_tiny, KG_LINK_FILES}
+                       | ({ln_mid} if KG_LINK_MID else set()))
+        link = {}
+        for cc, reps in ((lo_cpus, max(1, KG_REPEATS - 1)),
+                         (hi_cpus, KG_REPEATS + 1)):
+            for n in sizes:
+                _, t = _confined("kg_link_run", cc, reps, n_files=n)
+                link[(cc, n)] = t
+                _log(f"link {cc}c/{n}f done ({t:.1f}s best)", t_all)
+        l_lo = link[(lo_cpus, KG_LINK_FILES)]
+        l_hi = link[(hi_cpus, KG_LINK_FILES)]
+        scaling.update({
+            "link_files": KG_LINK_FILES,
+            "link_fps_lo": round(KG_LINK_FILES / l_lo, 1),
+            "link_fps_hi": round(KG_LINK_FILES / l_hi, 1),
+            "link_efficiency": round((l_lo / l_hi) / (hi_cpus / lo_cpus), 3),
+            # direct serial-floor reading: wall at 50 files (P≈0), per core
+            # count — core-count-invariance is the model's premise
+            "link_serial_lo_sec": round(link[(lo_cpus, ln_tiny)], 1),
+            "link_serial_hi_sec": round(link[(hi_cpus, ln_tiny)], 1),
+        })
+        # delta baseline: mid when measured (largest-n pairing), else tiny;
+        # a degenerate config (KG_LINK_FILES == baseline size) has no delta
+        # to read p_c from — skip the per-file metrics, keep the rest
+        base_n = ln_mid if KG_LINK_MID else ln_tiny
+        dn = KG_LINK_FILES - base_n
+        link_p_eff = None
+        if dn > 0:
+            link_p_lo = (l_lo - link[(lo_cpus, base_n)]) * lo_cpus / dn
+            link_p_hi = (l_hi - link[(hi_cpus, base_n)]) * hi_cpus / dn
+            link_p_eff = (link_p_lo / link_p_hi) if link_p_hi > 0 else None
+            scaling.update({
+                # per-file parallel core cost from the delta (S cancels);
+                # their ratio is the parallel half's scaling
                 "link_perfile_core_lo": round(link_p_lo, 4),
                 "link_perfile_core_hi": round(link_p_hi, 4),
-                "link_p_efficiency": (round(link_p_efficiency, 3)
-                                      if link_p_efficiency else None),
-                "spark_shuffle_ceiling_efficiency": shuffle_ceiling,
-                "link_p_efficiency_vs_ceiling": (
-                    round(link_p_efficiency / shuffle_ceiling, 3)
-                    if link_p_efficiency and shuffle_ceiling else None),
-                "hw_ceiling_efficiency": hw_eff,
-                "workload_ceiling_efficiency": wc,
-                # the engine's efficiency as a fraction of what zero-overhead
-                # multiprocessing achieves under the SAME box conditions —
-                # the draw-invariant reading (shared-host interference moves
-                # both numerator and denominator together)
-                "udf_efficiency_vs_ceiling": round(udf_efficiency / wc, 3),
-            },
-            "realworld": realworld,
-        },
-    }))
+                "link_p_efficiency": (round(link_p_eff, 3)
+                                      if link_p_eff else None),
+            })
+        # the Spark-runtime analog of workload_ceiling: what a canonical
+        # shuffle/agg job achieves 8->32 on this box's single shared JVM
+        if time.time() - t_all <= BUDGET_SEC:
+            sc_eff = round(spark_shuffle_ceiling(lo_cpus, hi_cpus), 3)
+            _log(f"spark shuffle ceiling done ({sc_eff})", t_all)
+            scaling["spark_shuffle_ceiling_efficiency"] = sc_eff
+            if link_p_eff and sc_eff:
+                scaling["link_p_efficiency_vs_ceiling"] = round(
+                    link_p_eff / sc_eff, 3)
+
+    # ---- phase 5: ceilings (multiprocessing only, no JVM) ----------------
+    def phase_ceilings():
+        hw_eff = round(hw_ceiling(lo_cpus, hi_cpus), 3)
+        wc = round(workload_ceiling(lo_cpus, hi_cpus), 3)
+        _log("ceilings done", t_all)
+        scaling["hw_ceiling_efficiency"] = hw_eff
+        scaling["workload_ceiling_efficiency"] = wc
+        if scaling.get("udf_efficiency") and wc:
+            # the engine's efficiency as a fraction of what zero-overhead
+            # multiprocessing achieves under the SAME box conditions — the
+            # draw-invariant reading (shared-host interference moves both
+            # numerator and denominator together)
+            scaling["udf_efficiency_vs_ceiling"] = round(
+                scaling["udf_efficiency"] / wc, 3)
+
+    run_phase("headline", phase_headline)
+    run_phase("realworld", phase_realworld)
+    run_phase("extract scaling", phase_extract_scaling)
+    run_phase("link scaling", phase_link_scaling)
+    run_phase("ceilings", phase_ceilings)
+    if phase_errors:
+        results["phase_errors"] = phase_errors
+    emit(partial=not scaling.get("workload_ceiling_efficiency")
+         or bool(phase_errors))
 
 
 if __name__ == "__main__":

@@ -19,10 +19,13 @@ obvious conveniences):
   ``(COUNT(*) AS ?n)`` / ``(COUNT(?v) AS ?n)`` with ``GROUP BY ?v ...``
 - ``WHERE { s p o . ... }`` basic graph patterns; terms are variables,
   ``<full-iris>``, ``pfx:local`` names, or ``"string literals"``
-- property paths in predicate position: sequence ``p1/p2/...`` and inverse
-  ``^p`` steps over constant IRIs (``?c woc:hasPackage/woc:hasName ?n``) —
-  each step compiles to the same self-join the hand-written 2-hop queries
-  use, with untypeable internal join variables excluded from ``SELECT *``
+- property paths in predicate position: sequence ``p1/p2/...``, inverse
+  ``^p``, one-or-more ``p+``, and alternative ``p1|p2`` steps over constant
+  IRIs (``?c woc:extends+/woc:hasSimpleName ?n``) — sequence/inverse steps
+  compile to the same self-joins the hand-written 2-hop queries use (with
+  untypeable internal join variables excluded from ``SELECT *``), ``+`` to
+  a bounded localCheckpoint-barriered closure, ``|`` to a predicate isin;
+  ``*``/``?`` and ``^``-with-``+``/``|`` combinations raise
 - ``OPTIONAL { ... }`` (single level) -> the WHOLE group compiled as one
   sub-BGP (its patterns inner-joined, its filters applied inside) and
   left-joined on the variables shared with the required part — standard
@@ -67,7 +70,7 @@ _TOKEN_RE = re.compile(
       | (?P<a>a)(?![A-Za-z0-9_])
       | (?P<decl>[A-Za-z_][A-Za-z0-9_-]*:)
       | (?P<num>[0-9]+)
-      | (?P<punct>[{}().=!,*/^])
+      | (?P<punct>[{}().=!,*/^|+])
     )""",
     re.VERBOSE)
 
@@ -94,8 +97,12 @@ def _tokenize(q: str) -> list[tuple[str, str]]:
 @dataclass
 class _Pattern:
     s: tuple[str, str]
-    p: tuple[str, str]
+    # predicate term: ("var"|"iri", name) or ("alt", (iri, iri, ...)) from
+    # a path alternative p1|p2
+    p: tuple
     o: tuple[str, str]
+    # one-or-more quantifier (p+): compiled as a bounded iterative closure
+    plus: bool = False
 
 
 @dataclass
@@ -325,28 +332,33 @@ class _Parser:
             s = self._term()
             steps = self._path()
             o = self._term()
-            if len(steps) == 1 and not steps[0][1]:
+            if len(steps) == 1 and not steps[0][1] and not steps[0][2]:
                 patterns.append(_Pattern(s, steps[0][0], o))
             else:
                 # property path: expand into a chain of patterns over
                 # fresh internal join variables; an inverse step swaps its
                 # pattern's subject/object
                 cur = s
-                for j, (term, inv) in enumerate(steps):
+                for j, (term, inv, plus) in enumerate(steps):
                     nxt = (o if j == len(steps) - 1
                            else ("var", self._fresh_var()))
-                    patterns.append(_Pattern(nxt, term, cur) if inv
-                                    else _Pattern(cur, term, nxt))
+                    patterns.append(
+                        _Pattern(nxt, term, cur, plus=plus) if inv
+                        else _Pattern(cur, term, nxt, plus=plus))
                     cur = nxt
 
-    def _path(self) -> list[tuple[tuple[str, str], bool]]:
+    def _path(self) -> list[tuple[tuple, bool, bool]]:
         """Predicate position: a plain term (possibly a variable), or a
-        property path ``elt ('/' elt)*`` with ``elt := ['^'] iri`` —
-        sequence and inverse steps over constant IRIs (the SPARQL 1.1 path
-        subset whose expansion is pure self-joins; quantified forms ``*``/
-        ``+``/``?`` and alternatives ``|`` are not supported). Returns
-        [(term, inverted), ...]."""
-        steps: list[tuple[tuple[str, str], bool]] = []
+        property path ``elt ('/' elt)*`` with
+        ``elt := ['^'] iri ['+'] | iri ('|' iri)+`` — sequence, inverse,
+        one-or-more, and alternative steps over constant IRIs (the SPARQL
+        1.1 path subset whose expansion is self-joins plus a bounded
+        closure for '+'; ``*``/``?`` quantifiers, '^' combined with
+        '+'/'|', and quantified alternative groups are not supported —
+        they raise rather than mis-evaluate). Returns
+        [(term, inverted, plus), ...] where term may be
+        ("alt", (iri, ...))."""
+        steps: list[tuple[tuple, bool, bool]] = []
         while True:
             inv = False
             if self._peek() == ("punct", "^"):
@@ -354,13 +366,40 @@ class _Parser:
                 inv = True
             term = self._term()
             if term[0] == "var":
-                if inv or steps or self._peek() == ("punct", "/"):
+                nk, nv = self._peek()
+                if inv or steps or (nk == "punct" and nv in ("/", "|", "+")):
                     raise ValueError(
                         "property path steps must be constant IRIs")
-                return [(term, False)]
+                return [(term, False, False)]
             if term[0] != "iri":
                 raise ValueError("property path steps must be constant IRIs")
-            steps.append((term, inv))
+            plus = False
+            if self._peek() == ("punct", "+"):
+                self._next()
+                plus = True
+                if inv:
+                    raise ValueError("'^' combined with '+' not supported")
+            if self._peek() == ("punct", "|"):
+                if inv or plus:
+                    raise ValueError(
+                        "'|' cannot combine with '^' or '+' in one step")
+                alts = [term[1]]
+                while self._peek() == ("punct", "|"):
+                    self._next()
+                    if self._peek() == ("punct", "^"):
+                        raise ValueError(
+                            "path alternatives must be constant IRIs "
+                            "('^' inside '|' not supported)")
+                    alt = self._term()
+                    if alt[0] != "iri":
+                        raise ValueError(
+                            "path alternatives must be constant IRIs")
+                    alts.append(alt[1])
+                if self._peek() == ("punct", "+"):
+                    raise ValueError(
+                        "'+' on an alternative group not supported")
+                term = ("alt", tuple(alts))
+            steps.append((term, inv, plus))
             if self._peek() == ("punct", "/"):
                 self._next()
                 continue
@@ -443,11 +482,78 @@ def _pattern_df(triples: DataFrame, pat: _Pattern,
             df = df.filter(F.col(col) == val)
             if col == "obj":
                 df = df.filter(~F.col("obj_is_literal"))
+        elif kind == "alt":  # p1|p2 — parser emits alt only for predicates
+            df = df.filter(F.col(col).isin(list(val)))
         else:  # literal
             if col != "obj":
                 raise ValueError("string literals only valid in object position")
             df = df.filter((F.col(col) == val) & F.col("obj_is_literal"))
     return df.select(*cols), vars_
+
+
+_PLUS_MAX_ROUNDS = 10  # same bound as the alias chase (tracking.py:343)
+
+
+def _plus_pattern_df(triples: DataFrame, pat: _Pattern,
+                     lit_req: dict[str, bool]) -> tuple[DataFrame, set]:
+    """Compile one ``p+`` (one-or-more) path step to variable bindings via
+    a bounded iterative closure — each round ONE shuffle join, barriered
+    with localCheckpoint so the plan stays linear in rounds instead of
+    growing quadratically. Scale shape: a constant subject seeds the
+    frontier, so the walk is linear in the REACHABLE set (the common
+    ``<cls> woc:extends+ ?anc`` form); a constant object with variable
+    subject walks forward from every edge and filters at the end (correct;
+    a backward seed would be the optimization if that shape mattered).
+    Only IRI nodes are traversed through — a literal object is a dead end
+    (literals never appear in subject position) — while the LAST hop's
+    literal flag is kept so isLiteral() pushdown still applies to the
+    object variable. Lifetime: the per-round checkpoints live until the
+    session ends (bounded: at most _PLUS_MAX_ROUNDS rounds, each
+    frontier-sized)."""
+    kind, val = pat.p
+    pred_f = (F.col("pred") == val) if kind == "iri" \
+        else F.col("pred").isin(list(val))
+    edges = (triples.filter(pred_f)
+             .select(F.col("subj").alias("src"), F.col("obj").alias("dst"),
+                     F.col("obj_is_literal").alias("lit"))
+             .distinct())
+    sk, sv = pat.s
+    if sk == "literal":
+        raise ValueError("string literals only valid in object position")
+    frontier = (edges.filter(F.col("src") == sv) if sk == "iri"
+                else edges).localCheckpoint()
+    closure = frontier
+    base = edges.select(F.col("src").alias("m"), F.col("dst").alias("nxt"),
+                        F.col("lit").alias("nlit"))
+    for _ in range(_PLUS_MAX_ROUNDS):
+        stepped = (frontier.filter(~F.col("lit"))
+                   .join(base, F.col("dst") == F.col("m"))
+                   .select("src", F.col("nxt").alias("dst"),
+                           F.col("nlit").alias("lit")))
+        new = (stepped.join(closure, ["src", "dst", "lit"], "left_anti")
+               .localCheckpoint())
+        if new.isEmpty():
+            break
+        closure = closure.unionByName(new)
+        frontier = new
+    ok_, ov = pat.o
+    cols, vars_ = [], set()
+    if sk == "var":
+        cols.append(F.col("src").alias(sv))
+        vars_.add(sv)
+    if ok_ == "var":
+        if ov in lit_req:
+            closure = closure.filter(F.col("lit") == lit_req[ov])
+        if ov in vars_:  # ?x p+ ?x — cycles through x
+            closure = closure.filter(F.col("dst") == F.col("src"))
+        else:
+            cols.append(F.col("dst").alias(ov))
+            vars_.add(ov)
+    elif ok_ == "iri":
+        closure = closure.filter((F.col("dst") == ov) & ~F.col("lit"))
+    else:  # literal object: only a depth-1 (or literal-final) hop can match
+        closure = closure.filter((F.col("dst") == ov) & F.col("lit"))
+    return closure.select(*cols), vars_
 
 
 def _compile_required(triples: DataFrame, patterns: list[_Pattern],
@@ -470,7 +576,8 @@ def _compile_required(triples: DataFrame, patterns: list[_Pattern],
     acc: DataFrame | None = None
     bound: set[str] = set()
     for pat in patterns:
-        df, vars_ = _pattern_df(triples, pat, lit_req)
+        df, vars_ = (_plus_pattern_df(triples, pat, lit_req) if pat.plus
+                     else _pattern_df(triples, pat, lit_req))
         if acc is None:
             acc, bound = df, set(vars_)
             continue

@@ -802,3 +802,98 @@ def test_randomized_optional_groups_vs_naive_evaluator(spark):
             assert "earlier OPTIONAL" in str(e)
             continue
         assert got == want, (case, sparql, got ^ want)
+
+
+def test_property_path_plus(spark):
+    """p+ (one-or-more): bounded closure over a 3-deep extends chain."""
+    rows = [
+        ("e1", WOC + "extends", "e2", False),
+        ("e2", WOC + "extends", "e3", False),
+        ("e1", WOC + "hasName", "Dog", True),
+        ("e2", WOC + "hasName", "Animal", True),
+        ("e3", WOC + "hasName", "Thing", True),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_literal boolean")
+    out = {(r["c"], r["a"]) for r in sparql_to_df(t, """
+        prefix woc: <http://rdf.webofcode.org/woc/>
+        SELECT ?c ?a WHERE { ?c woc:extends+ ?a . }
+    """).collect()}
+    assert out == {("e1", "e2"), ("e1", "e3"), ("e2", "e3")}
+    # constant subject seeds the frontier (the scale path)
+    out2 = {r["n"] for r in sparql_to_df(t, """
+        prefix woc: <http://rdf.webofcode.org/woc/>
+        SELECT ?n WHERE { <e1> woc:extends+/woc:hasName ?n . }
+    """).collect()}
+    assert out2 == {"Animal", "Thing"}
+    # + over a datatype predicate: only depth-1 literal hops can match
+    out3 = {(r["c"], r["n"]) for r in sparql_to_df(t, """
+        prefix woc: <http://rdf.webofcode.org/woc/>
+        SELECT ?c ?n WHERE { ?c woc:hasName+ ?n . }
+    """).collect()}
+    assert out3 == {("e1", "Dog"), ("e2", "Animal"), ("e3", "Thing")}
+
+
+def test_property_path_alternative(spark, triples):
+    out = {(r["x"], r["n"]) for r in sparql_to_df(triples, """
+        prefix woc: <http://rdf.webofcode.org/woc/>
+        SELECT ?x ?n WHERE { ?x woc:hasName|woc:isMethodOf ?n . }
+    """).collect()}
+    assert out == {("e1", "Dog"), ("e2", "Animal"), ("m1", "bark"),
+                   ("m1", "e1")}
+
+
+def test_property_path_plus_alt_errors(spark, triples):
+    for bad, msg in [
+        ("?c ^woc:extends+ ?x", "not supported"),
+        ("?c woc:extends+|woc:hasName ?x", "cannot combine"),
+        ("?c woc:extends|^woc:hasName ?x", "constant IRIs"),
+        ("?c woc:extends|woc:hasName+ ?x", "alternative group"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            sparql_to_df(triples, """
+                prefix woc: <http://rdf.webofcode.org/woc/>
+                SELECT ?x WHERE { %s . }
+            """ % bad)
+
+
+def test_randomized_plus_paths_vs_naive_closure(spark):
+    """10 seeded random graphs: ?a <p>+ ?b must equal an independent BFS
+    closure that traverses only non-literal intermediate nodes and keeps
+    the last hop's literal flag."""
+    import random
+
+    rng = random.Random(71)
+    X = "http://x/"
+    for case in range(10):
+        triples = set()
+        while len(triples) < rng.randrange(20, 50):
+            s = X + f"e{rng.randrange(8)}"
+            p = X + f"p{rng.randrange(2)}"
+            if rng.random() < 0.3:
+                triples.add((s, p, f"w{rng.randrange(3)}", True))
+            else:
+                triples.add((s, p, X + f"e{rng.randrange(8)}", False))
+        triples = sorted(triples)
+        pred = X + f"p{rng.randrange(2)}"
+
+        edges = [(s, o, lit) for (s, p, o, lit) in triples if p == pred]
+        closure = set(edges)
+        frontier = set(edges)
+        for _ in range(20):
+            new = {(s, o2, lit2)
+                   for (s, o, lit) in frontier if not lit
+                   for (s2, o2, lit2) in edges if s2 == o}
+            new -= closure
+            if not new:
+                break
+            closure |= new
+            frontier = new
+        want = {(s, o) for (s, o, _lit) in closure}
+
+        df = spark.createDataFrame(
+            triples,
+            "subj string, pred string, obj string, obj_is_literal boolean")
+        got = {(r["a"], r["b"]) for r in sparql_to_df(
+            df, f"SELECT ?a ?b WHERE {{ ?a <{pred}>+ ?b . }}").collect()}
+        assert got == want, (case, got ^ want)

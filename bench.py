@@ -691,7 +691,12 @@ def main():
         sizes = sorted({ln_tiny, KG_LINK_FILES}
                        | ({ln_mid} if KG_LINK_MID else set()))
         link = {}
-        for cc, reps in ((lo_cpus, max(1, KG_REPEATS - 1)),
+        # the lo/big level is the single longest-running sample in the
+        # whole bench (~4-11 min per draw) and therefore the MOST exposed
+        # to a contention window; with only one repeat a bad draw reads as
+        # super-ideal scaling (observed: one 687 s draw vs 224 s quiet-box
+        # on unchanged code). Keep >= 2 repeats at default settings.
+        for cc, reps in ((lo_cpus, max(1, KG_REPEATS)),
                          (hi_cpus, KG_REPEATS + 1)):
             for n in sizes:
                 _, t = _confined("kg_link_run", cc, reps, n_files=n)

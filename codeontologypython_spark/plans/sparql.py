@@ -499,11 +499,12 @@ def _plus_pattern_df(triples: DataFrame, pat: _Pattern,
     """Compile one ``p+`` (one-or-more) path step to variable bindings via
     a bounded iterative closure — each round ONE shuffle join, barriered
     with localCheckpoint so the plan stays linear in rounds instead of
-    growing quadratically. Scale shape: a constant subject seeds the
-    frontier, so the walk is linear in the REACHABLE set (the common
-    ``<cls> woc:extends+ ?anc`` form); a constant object with variable
-    subject walks forward from every edge and filters at the end (correct;
-    a backward seed would be the optimization if that shape mattered).
+    growing quadratically. Scale shape: a constant SUBJECT seeds a forward
+    walk and a constant OBJECT (with variable subject) seeds a BACKWARD
+    walk, so either anchored form is linear in the REACHABLE set rather
+    than in the full edge relation (``<cls> woc:extends+ ?anc`` /
+    ``?desc woc:extends+ <cls>``); only the fully-variable form walks the
+    whole relation.
     Only IRI nodes are traversed through — a literal object is a dead end
     (literals never appear in subject position) — while the LAST hop's
     literal flag is kept so isLiteral() pushdown still applies to the
@@ -518,8 +519,33 @@ def _plus_pattern_df(triples: DataFrame, pat: _Pattern,
                      F.col("obj_is_literal").alias("lit"))
              .distinct())
     sk, sv = pat.s
-    if sk == "literal":
+    ok_, ov = pat.o
+    if sk == "lit":
         raise ValueError("string literals only valid in object position")
+    if sk == "var" and ok_ != "var":
+        # backward walk: seed at the constant object and prepend hops.
+        # Every closure row already ends at the object, so the final-hop
+        # literal flag is fixed by the seed edges; the node traversed
+        # THROUGH when prepending (the new edge's object) must be an IRI.
+        frontier = edges.filter(
+            (F.col("dst") == ov)
+            & (F.col("lit") if ok_ == "lit" else ~F.col("lit"))
+        ).localCheckpoint()
+        closure = frontier
+        pre = edges.select(F.col("src").alias("p_src"),
+                           F.col("dst").alias("m"),
+                           F.col("lit").alias("p_lit"))
+        for _ in range(_PLUS_MAX_ROUNDS):
+            stepped = (frontier.join(pre, F.col("src") == F.col("m"))
+                       .filter(~F.col("p_lit"))
+                       .select(F.col("p_src").alias("src"), "dst", "lit"))
+            new = (stepped.join(closure, ["src", "dst", "lit"], "left_anti")
+                   .localCheckpoint())
+            if new.isEmpty():
+                break
+            closure = closure.unionByName(new)
+            frontier = new
+        return closure.select(F.col("src").alias(sv)), {sv}
     frontier = (edges.filter(F.col("src") == sv) if sk == "iri"
                 else edges).localCheckpoint()
     closure = frontier
@@ -536,7 +562,6 @@ def _plus_pattern_df(triples: DataFrame, pat: _Pattern,
             break
         closure = closure.unionByName(new)
         frontier = new
-    ok_, ov = pat.o
     cols, vars_ = [], set()
     if sk == "var":
         cols.append(F.col("src").alias(sv))

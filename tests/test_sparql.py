@@ -897,3 +897,107 @@ def test_randomized_plus_paths_vs_naive_closure(spark):
         got = {(r["a"], r["b"]) for r in sparql_to_df(
             df, f"SELECT ?a ?b WHERE {{ ?a <{pred}>+ ?b . }}").collect()}
         assert got == want, (case, got ^ want)
+
+
+def test_randomized_alt_paths_vs_naive_evaluator(spark):
+    """8 seeded random 2-step paths where one step is an alternative
+    (p1|p2): the compiler must agree with a naive expansion that matches
+    the step predicate against the alternative SET."""
+    import random
+
+    rng = random.Random(97)
+    X = "http://x/"
+    for case in range(8):
+        triples = set()
+        while len(triples) < rng.randrange(25, 55):
+            s = X + f"e{rng.randrange(7)}"
+            p = X + f"p{rng.randrange(4)}"
+            if rng.random() < 0.3:
+                triples.add((s, p, f"w{rng.randrange(3)}", True))
+            else:
+                triples.add((s, p, X + f"e{rng.randrange(7)}", False))
+        triples = sorted(triples)
+
+        # step spec: a frozenset of allowed predicates per step
+        alt_step = frozenset({X + f"p{rng.randrange(4)}",
+                              X + f"p{rng.randrange(4)}"})
+        plain = X + f"p{rng.randrange(4)}"
+        steps = ([alt_step, frozenset({plain})] if rng.random() < 0.5
+                 else [frozenset({plain}), alt_step])
+
+        def txt(st):
+            return "|".join(f"<{p}>" for p in sorted(st))
+        sparql = (f"SELECT DISTINCT ?a ?b WHERE "
+                  f"{{ ?a {txt(steps[0])}/{txt(steps[1])} ?b . }}")
+
+        # naive: chain hop 1 then hop 2, intermediates must be non-literal
+        hop1 = {(s, o) for (s, p, o, lit) in triples
+                if p in steps[0] and not lit}
+        want = {(a, o) for (a, m) in hop1
+                for (s, p, o, lit) in triples if s == m and p in steps[1]}
+
+        df = spark.createDataFrame(
+            triples,
+            "subj string, pred string, obj string, obj_is_literal boolean")
+        got = {(r["a"], r["b"])
+               for r in sparql_to_df(df, sparql).collect()}
+        assert got == want, (case, sparql, got ^ want)
+
+
+def test_property_path_plus_constant_object(spark):
+    """Constant-object p+ takes the backward-seeded walk; results must
+    equal the full walk filtered to that object."""
+    rows = [
+        ("e1", WOC + "extends", "e2", False),
+        ("e2", WOC + "extends", "e3", False),
+        ("e4", WOC + "extends", "e2", False),
+        ("e1", WOC + "hasName", "Dog", True),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_literal boolean")
+    out = {r["d"] for r in sparql_to_df(t, """
+        prefix woc: <http://rdf.webofcode.org/woc/>
+        SELECT ?d WHERE { ?d woc:extends+ <e3> . }
+    """).collect()}
+    assert out == {"e1", "e2", "e4"}
+    # literal constant object: only hops whose final edge is literal match
+    out2 = {r["x"] for r in sparql_to_df(t, """
+        prefix woc: <http://rdf.webofcode.org/woc/>
+        SELECT ?x WHERE { ?x woc:hasName+ "Dog" . }
+    """).collect()}
+    assert out2 == {"e1"}
+    # an IRI constant never matches a literal-flagged row even with equal text
+    out3 = sparql_to_df(t, """
+        prefix woc: <http://rdf.webofcode.org/woc/>
+        SELECT ?x WHERE { ?x woc:hasName+ <Dog> . }
+    """).count()
+    assert out3 == 0
+
+
+def test_randomized_plus_constant_object_vs_full_walk(spark):
+    """6 seeded graphs: for a random constant object, the backward-seeded
+    walk must equal the full ?a p+ ?b walk filtered to that object."""
+    import random
+
+    rng = random.Random(131)
+    X = "http://x/"
+    for case in range(6):
+        triples = set()
+        while len(triples) < rng.randrange(20, 45):
+            s = X + f"e{rng.randrange(6)}"
+            p = X + f"p{rng.randrange(2)}"
+            if rng.random() < 0.25:
+                triples.add((s, p, f"w{rng.randrange(2)}", True))
+            else:
+                triples.add((s, p, X + f"e{rng.randrange(6)}", False))
+        pred = X + f"p{rng.randrange(2)}"
+        target = X + f"e{rng.randrange(6)}"
+        df = spark.createDataFrame(
+            sorted(triples),
+            "subj string, pred string, obj string, obj_is_literal boolean")
+        full = {(r["a"], r["b"]) for r in sparql_to_df(
+            df, f"SELECT ?a ?b WHERE {{ ?a <{pred}>+ ?b . }}").collect()}
+        want = {a for (a, b) in full if b == target}
+        got = {r["a"] for r in sparql_to_df(
+            df, f"SELECT ?a WHERE {{ ?a <{pred}>+ <{target}> . }}").collect()}
+        assert got == want, (case, got ^ want)

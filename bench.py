@@ -14,7 +14,7 @@ Prints ONE JSON line:
 
 Budget contract (the round-4 driver artifact was lost to a timeout, so this
 is load-bearing): phases run MOST-IMPORTANT-FIRST (headline queries ->
-realworld E2E -> extract scaling -> link scaling -> ceilings), a soft
+realworld E2E -> extract scaling -> ceilings -> link scaling), a soft
 deadline ($SPARK_GRAFT_BUDGET_SEC, default 3300 s) skips remaining phases
 rather than overrunning, and a SIGTERM handler prints the partial JSON
 before dying — so even a hard driver timeout yields a parseable artifact
@@ -760,8 +760,12 @@ def main():
     run_phase("headline", phase_headline)
     run_phase("realworld", phase_realworld)
     run_phase("extract scaling", phase_extract_scaling)
-    run_phase("link scaling", phase_link_scaling)
+    # ceilings before link: they cost ~2 min, contextualize the extract
+    # numbers (the draw-invariant vs-ceiling reading), and must not be
+    # lost to the budget when the link sweep — the longest phase — would
+    # overrun it
     run_phase("ceilings", phase_ceilings)
+    run_phase("link scaling", phase_link_scaling)
     if phase_errors:
         results["phase_errors"] = phase_errors
     emit(partial=not scaling.get("workload_ceiling_efficiency")

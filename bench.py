@@ -121,23 +121,45 @@ def run_headline(cpus: int, sf_dir: str) -> dict[str, float]:
     return queries
 
 
-def headline_confined(cpus: int, sf_dir: str) -> dict[str, float]:
+def _run_confined(call_src: str, cpus: int):
+    """Evaluate ``bench.<call>`` in a subprocess pinned to ``cpus`` CPUs
+    and return its JSON-round-tripped result — the one confinement wrapper
+    every phase goes through.
+
+    Why a subprocess ALWAYS (even unconfined full-width levels): a stopped
+    SparkContext's JVM lives until its python process exits, holding tens
+    of GB and background threads that contend with every later confined
+    level (measured: a leftover hi-level JVM tripled the link lo level's
+    wall time). A subprocess takes its JVM with it.
+
+    Why taskset: an N-executor cluster gives the engine N cores TOTAL —
+    JVM feed threads, GC and Python workers all share them. Unconfined
+    local[8] on a 32-core box leaks the idle cores to the JVM side
+    (measured: the 8-task-slot run keeps ~16 cores busy), inflating the lo
+    baseline and understating scaling efficiency. Falls back to
+    unconfined when taskset is unavailable.
+    """
     import shutil
     import subprocess
 
     code = (
         "import sys, json; sys.path.insert(0, %r)\n"
-        "from bench import run_headline\n"
-        "print('HQRESULT ' + json.dumps(run_headline(%d, %r)))\n"
-        % (os.path.dirname(os.path.abspath(__file__)), cpus, sf_dir))
+        "import bench\n"
+        "print('CONFINED_JSON ' + json.dumps(bench.%s))\n"
+        % (os.path.dirname(os.path.abspath(__file__)), call_src))
     cmd = [sys.executable, "-c", code]
     if shutil.which("taskset") is not None and cpus < (os.cpu_count() or cpus):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     for line in out.stdout.splitlines():
-        if line.startswith("HQRESULT"):
+        if line.startswith("CONFINED_JSON"):
             return json.loads(line.split(" ", 1)[1])
-    raise RuntimeError(f"headline bench run failed: {out.stderr[-2000:]}")
+    raise RuntimeError(
+        f"confined run {call_src!r} failed: {out.stderr[-2000:]}")
+
+
+def headline_confined(cpus: int, sf_dir: str) -> dict[str, float]:
+    return _run_confined(f"run_headline({cpus}, {sf_dir!r})", cpus)
 
 
 def kg_extract_run(cpus: int, n_files: int = KG_FILES,
@@ -354,46 +376,16 @@ def kg_realworld_run(cpus: int) -> dict | None:
 def _confined(fn_name: str, cpus: int, repeats: int,
               udf_only: bool | None = None,
               n_files: int | None = None) -> tuple[int, float]:
-    """Run a bench fn in a subprocess pinned to ``cpus`` CPUs.
-
-    An N-executor cluster gives the engine N cores TOTAL — JVM feed threads,
-    GC and Python workers all share them. Unconfined local[8] on a 32-core
-    box leaks the idle cores to the JVM side of the pipeline (measured: the
-    8-task-slot run keeps ~16 cores busy), inflating the lo baseline and
-    understating scaling efficiency. ``taskset`` confinement restores the
-    honest N-core-node emulation; falls back to in-process (unconfined) when
-    taskset is unavailable.
-    """
-    import shutil
-    import subprocess
-
+    """Run a (n_items, best_seconds) bench fn via _run_confined (see its
+    docstring for the subprocess-always + taskset rationale)."""
     kw = {"repeats": repeats}
     if udf_only is not None:
         kw["udf_only"] = udf_only
     if n_files is not None:
         kw["n_files"] = n_files
     kw_src = ", ".join(f"{k}={v!r}" for k, v in kw.items())
-    code = (
-        "import sys; sys.path.insert(0, %r)\n"
-        "from bench import %s\n"
-        "n, t = %s(%d, %s)\n"
-        "print('KGRESULT %%d %%f' %% (n, t))\n"
-        % (os.path.dirname(os.path.abspath(__file__)), fn_name, fn_name,
-           cpus, kw_src))
-    # ALWAYS a subprocess — even unconfined full-width levels. In-process
-    # levels leave their (stopped) SparkContext's JVM alive holding tens of
-    # GB and background threads for the rest of the bench, contending with
-    # every later confined level (measured: a leftover hi-level JVM tripled
-    # the link lo level's wall time). A subprocess takes its JVM with it.
-    cmd = [sys.executable, "-c", code]
-    if shutil.which("taskset") is not None and cpus < (os.cpu_count() or cpus):
-        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
-    for line in out.stdout.splitlines():
-        if line.startswith("KGRESULT"):
-            _, n, t = line.split()
-            return int(n), float(t)
-    raise RuntimeError(f"confined bench run failed: {out.stderr[-2000:]}")
+    n, t = _run_confined(f"{fn_name}({cpus}, {kw_src})", cpus)
+    return int(n), float(t)
 
 
 def kg_extract_confined(cpus: int, repeats: int = KG_REPEATS,
@@ -408,23 +400,8 @@ def kg_link_confined(cpus: int, repeats: int = KG_REPEATS,
 
 def kg_realworld_confined(cpus: int) -> dict | None:
     """kg_realworld_run in its own (taskset-confined) subprocess — same
-    JVM-isolation rationale as _confined."""
-    import shutil
-    import subprocess
-
-    code = (
-        "import sys, json; sys.path.insert(0, %r)\n"
-        "from bench import kg_realworld_run\n"
-        "print('RWRESULT ' + json.dumps(kg_realworld_run(%d)))\n"
-        % (os.path.dirname(os.path.abspath(__file__)), cpus))
-    cmd = [sys.executable, "-c", code]
-    if shutil.which("taskset") is not None and cpus < (os.cpu_count() or cpus):
-        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
-    for line in out.stdout.splitlines():
-        if line.startswith("RWRESULT"):
-            return json.loads(line.split(" ", 1)[1])
-    raise RuntimeError(f"realworld bench run failed: {out.stderr[-2000:]}")
+    JVM-isolation rationale as _run_confined."""
+    return _run_confined(f"kg_realworld_run({cpus})", cpus)
 
 
 def spark_shuffle_ceiling_run(cpus: int) -> float:
@@ -614,12 +591,21 @@ def main():
 
     # a phase that dies (a bad knob combination, an OOM'd subprocess) must
     # not take the artifact with it: log, record, move on — the final JSON
-    # carries every phase that DID complete plus the error strings
+    # carries every phase that DID complete plus the error strings, and a
+    # machine-readable list of phases the soft budget skipped (so a
+    # budget-truncated artifact can never be mistaken for a complete one)
     phase_errors: dict[str, str] = {}
+    skipped: list[str] = []
 
-    def run_phase(name: str, fn) -> None:
+    def over_budget(name: str) -> bool:
         if time.time() - t_all > BUDGET_SEC:
             _log(f"budget {BUDGET_SEC}s exceeded — skipping {name}", t_all)
+            skipped.append(name)
+            return True
+        return False
+
+    def run_phase(name: str, fn) -> None:
+        if over_budget(name):
             return
         try:
             fn()
@@ -734,7 +720,7 @@ def main():
             })
         # the Spark-runtime analog of workload_ceiling: what a canonical
         # shuffle/agg job achieves 8->32 on this box's single shared JVM
-        if time.time() - t_all <= BUDGET_SEC:
+        if not over_budget("shuffle ceiling"):
             sc_eff = round(spark_shuffle_ceiling(lo_cpus, hi_cpus), 3)
             _log(f"spark shuffle ceiling done ({sc_eff})", t_all)
             scaling["spark_shuffle_ceiling_efficiency"] = sc_eff
@@ -768,8 +754,9 @@ def main():
     run_phase("link scaling", phase_link_scaling)
     if phase_errors:
         results["phase_errors"] = phase_errors
-    emit(partial=not scaling.get("workload_ceiling_efficiency")
-         or bool(phase_errors))
+    if skipped:
+        results["skipped_phases"] = skipped
+    emit(partial=bool(skipped) or bool(phase_errors))
 
 
 if __name__ == "__main__":

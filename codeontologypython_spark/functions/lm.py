@@ -39,19 +39,27 @@ from codeontologypython_spark.functions.textops import tokens_col
 MICRO = 100_000_000  # 1e8: micro-log-prob quantization
 
 
-def unigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def unigram_model(docs: DataFrame, text_col: str = "text",
+                  cache: bool = True) -> DataFrame:
     """(word, logp_micro) unigram table: logp_micro =
     round(ln(count/total) * 1e8) as BIGINT.
 
-    One corpus pass total: the exploded word counts are persisted
-    (vocab-sized — tiny relative to the corpus), the scalar total is a
-    vocab-table aggregate over that cache (one long to the driver), and
-    the returned model is a projection of the same cache — consumers never
-    re-run the explode/shuffle. Lifetime contract: the vocab cache lives
-    until the session ends (or ``spark.catalog.clearCache()``); it is the
-    model's backing store, so dropping it merely recomputes on next use."""
+    With ``cache=True`` (default) this is one corpus pass total: the
+    exploded word counts are persisted (vocab-sized — tiny relative to the
+    corpus), the scalar total is a vocab-table aggregate over that cache
+    (one long to the driver), and the returned model is a projection of
+    the same cache — consumers never re-run the explode/shuffle. Lifetime
+    contract: that vocab cache lives until the session ends (or
+    ``spark.catalog.clearCache()``) — it is the model's backing store, so
+    dropping it merely recomputes on next use, but a long-lived session
+    training MANY models accumulates one cached vocab table per call;
+    such callers pass ``cache=False`` and pay a second explode pass (the
+    total aggregate and the model consumer each recompute the shuffle)
+    in exchange for zero retained state."""
     words = docs.select(F.explode(tokens_col(F.col(text_col))).alias("word"))
-    counts = words.groupBy("word").agg(F.count("*").alias("c")).persist()
+    counts = words.groupBy("word").agg(F.count("*").alias("c"))
+    if cache:
+        counts = counts.persist()
     total = counts.agg(F.sum("c")).collect()[0][0] or 0
     return counts.select(
         "word",

@@ -545,6 +545,15 @@ def _plus_pattern_df(triples: DataFrame, pat: _Pattern,
                 break
             closure = closure.unionByName(new)
             frontier = new
+        else:
+            # the bound is an extraction heuristic; for a QUERY a silent
+            # truncation would return a wrong answer indistinguishable
+            # from a right one — raise instead (module contract: fail
+            # loudly rather than mis-evaluate)
+            raise ValueError(
+                f"p+ path did not converge within {_PLUS_MAX_ROUNDS} "
+                "rounds (graph has longer simple paths); raise "
+                "_PLUS_MAX_ROUNDS or anchor the path")
         return closure.select(F.col("src").alias(sv)), {sv}
     frontier = (edges.filter(F.col("src") == sv) if sk == "iri"
                 else edges).localCheckpoint()
@@ -562,6 +571,11 @@ def _plus_pattern_df(triples: DataFrame, pat: _Pattern,
             break
         closure = closure.unionByName(new)
         frontier = new
+    else:
+        raise ValueError(
+            f"p+ path did not converge within {_PLUS_MAX_ROUNDS} rounds "
+            "(graph has longer simple paths); raise _PLUS_MAX_ROUNDS or "
+            "anchor the path")
     cols, vars_ = [], set()
     if sk == "var":
         cols.append(F.col("src").alias(sv))
@@ -657,6 +671,21 @@ def _compile_bgp(triples: DataFrame, patterns: list[_Pattern],
         if f[0] in ("regex", "isliteral"):
             return {f[1]}
         return {f[1]} | ({f[3][1]} if f[3][0] == "var" else set())
+
+    # isLiteral is implemented as scan-time pushdown on obj_is_literal, so
+    # it can only constrain variables the REQUIRED part binds; after the
+    # left join the flag column is gone, so a top-level isLiteral on an
+    # OPTIONAL-bound variable has no faithful compilation — reject it with
+    # an accurate message instead of the generic "unbound variable" one
+    opt_vars = {v for opats, _ in optionals for p in opats
+                for (k, v) in (p.s, p.p, p.o) if k == "var"}
+    for f in filters:
+        if f[0] == "isliteral" and f[1] not in req_vars and f[1] in opt_vars:
+            raise ValueError(
+                f"FILTER [!]isLiteral(?{f[1]}) at the top level constrains "
+                "a variable bound only inside an OPTIONAL group — "
+                "unsupported (move the filter into the OPTIONAL group, or "
+                "bind the variable in the required part)")
 
     post = [f for f in filters
             if f[0] != "isliteral" and not _refs(f) <= req_vars]

@@ -1001,3 +1001,34 @@ def test_randomized_plus_constant_object_vs_full_walk(spark):
         got = {r["a"] for r in sparql_to_df(
             df, f"SELECT ?a WHERE {{ ?a <{pred}>+ <{target}> . }}").collect()}
         assert got == want, (case, got ^ want)
+
+
+def test_plus_path_nonconvergence_raises(spark):
+    """A chain deeper than the closure bound must raise, not silently
+    return a truncated (wrong) answer."""
+    rows = [(f"e{i}", WOC + "extends", f"e{i+1}", False) for i in range(13)]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_literal boolean")
+    with pytest.raises(ValueError, match="did not converge"):
+        sparql_to_df(t, """
+            prefix woc: <http://rdf.webofcode.org/woc/>
+            SELECT ?a ?b WHERE { ?a woc:extends+ ?b . }
+        """).collect()
+    # anchored at the constant subject the same chain still exceeds the
+    # bound; anchored near the end it converges
+    assert sparql_to_df(t, """
+        prefix woc: <http://rdf.webofcode.org/woc/>
+        SELECT ?b WHERE { <e10> woc:extends+ ?b . }
+    """).count() == 3
+
+
+def test_top_level_isliteral_on_optional_var_rejected(spark, triples):
+    with pytest.raises(ValueError, match="bound only inside an OPTIONAL"):
+        sparql_to_df(triples, """
+            prefix woc: <http://rdf.webofcode.org/woc/>
+            SELECT ?c ?n WHERE {
+                ?c a woc:Class .
+                OPTIONAL { ?c woc:hasName ?n . }
+                FILTER isLiteral(?n)
+            }
+        """)

@@ -236,8 +236,16 @@ def test_pipeline_releases_stage_caches(spark, source_files, tmp_path):
                        write_nt=False)
     assert res.n_triples > 0
     after = {r.id() for r in jsc.getPersistentRDDs().values()}
+    # no NEW ids may survive (the leak the sweep exists to prevent). The
+    # inverse check (every pre-existing id survives) is NOT asserted:
+    # Spark's async ContextCleaner may unpersist earlier tests' GC'd
+    # caches between the two snapshots in a full-suite run — the sweep
+    # itself can only touch ids created during this call by construction
+    # (it filters on `not in _pre_cache_ids`).
     assert after - before == set(), "pipeline leaked stage caches"
-    assert before <= after, "pipeline swept a caller-owned cache"
+    # the caller-owned fixture cache is still alive and usable
+    assert source_files.storageLevel.useMemory
+    assert source_files.count() > 0
 
 
 def test_entry_smoke(spark):

@@ -36,6 +36,9 @@ obvious conveniences):
 - ``{ A } UNION { B } [UNION { C }…]`` (one block per group, not nested;
   outer patterns distribute into every branch; unbound branch variables
   come back null) -> null-padded unionByName
+- ``VALUES ?v { … }`` / ``VALUES (?v1 ?v2) { (…) … }`` inline binding
+  tables -> broadcast inner join (``UNDEF`` and VALUES-inside-OPTIONAL
+  raise)
 - ``FILTER regex(?v, "re")`` / ``FILTER (?v = term)`` / ``FILTER (?v != term)``
   / ``FILTER [!]isLiteral(?v)`` (contradictory polarities on one variable
   short-circuit the branch to empty, matching SPARQL's unsatisfiable set)
@@ -66,7 +69,7 @@ _TOKEN_RE = re.compile(
       | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z_][A-Za-z0-9_]*)
       | (?P<keyword>(?i:PREFIX|SELECT|DISTINCT|WHERE|OPTIONAL|FILTER|REGEX
                      |ORDER|GROUP|BY|ASC|DESC|LIMIT|COUNT|AS|ISLITERAL
-                     |UNION))(?![A-Za-z0-9_])
+                     |UNION|VALUES|UNDEF))(?![A-Za-z0-9_])
       | (?P<a>a)(?![A-Za-z0-9_])
       | (?P<decl>[A-Za-z_][A-Za-z0-9_-]*:)
       | (?P<num>[0-9]+)
@@ -329,6 +332,14 @@ class _Parser:
                 self._next()
                 filters.append(self._filter())
                 continue
+            if v.upper() == "VALUES":
+                if optional:
+                    raise ValueError("VALUES inside OPTIONAL not supported")
+                self._next()
+                # rides in the filters list (it distributes into UNION
+                # branches the same way); _compile_bgp strips it out
+                filters.append(self._values())
+                continue
             s = self._term()
             steps = self._path()
             o = self._term()
@@ -404,6 +415,48 @@ class _Parser:
                 self._next()
                 continue
             return steps
+
+    def _values(self) -> tuple:
+        """``VALUES ?v { t … }`` / ``VALUES (?v1 ?v2) { (t1 t2) … }`` —
+        an inline binding table (SPARQL 1.1 §10.2), compiled as a
+        broadcast inner join into its branch on the shared variables.
+        ``UNDEF`` rows are rejected (they would need the null-tolerant
+        join semantics this compiler deliberately refuses elsewhere)."""
+        if self._peek() == ("punct", "("):
+            self._next()
+            vars_: list[str] = []
+            while self._peek()[0] == "var":
+                vars_.append(self._next()[1][1:])
+            self._expect("punct", ")")
+            if not vars_:
+                raise ValueError("VALUES needs at least one variable")
+            self._expect("punct", "{")
+            rows = []
+            while self._peek() == ("punct", "("):
+                self._next()
+                row = tuple(self._values_term() for _ in vars_)
+                self._expect("punct", ")")
+                rows.append(row)
+            self._expect("punct", "}")
+        else:
+            vars_ = [self._expect("var")[1:]]
+            self._expect("punct", "{")
+            rows = []
+            while self._peek() != ("punct", "}"):
+                rows.append((self._values_term(),))
+            self._expect("punct", "}")
+        if len(set(vars_)) != len(vars_):
+            raise ValueError("duplicate variable in VALUES")
+        return ("values", tuple(vars_), tuple(rows))
+
+    def _values_term(self) -> str:
+        k, v = self._peek()
+        if k == "keyword" and v.upper() == "UNDEF":
+            raise ValueError("UNDEF in VALUES not supported")
+        kind, val = self._term()
+        if kind == "var":
+            raise ValueError("variables not allowed in VALUES rows")
+        return val
 
     def _is_literal_filter(self) -> tuple:
         # [!] isLiteral(?v)  — the '(' of any enclosing FILTER(...) is
@@ -658,6 +711,10 @@ def _compile_bgp(triples: DataFrame, patterns: list[_Pattern],
     (some patterns hold, others don't) binds nothing — every group
     variable comes back null together, and a filtered-out group row never
     eliminates the required-side row it left-joins onto."""
+    # VALUES blocks ride in the filters list (UNION distribution for free)
+    # — strip them out before any filter-shape processing
+    values = [f for f in filters if f[0] == "values"]
+    filters = [f for f in filters if f[0] != "values"]
     if not patterns:
         raise ValueError("query has only OPTIONAL patterns")
     # branch-level cmp/regex filters may reference variables an OPTIONAL
@@ -691,6 +748,17 @@ def _compile_bgp(triples: DataFrame, patterns: list[_Pattern],
             if f[0] != "isliteral" and not _refs(f) <= req_vars]
     acc, bound = _compile_required(triples, patterns,
                                    [f for f in filters if f not in post])
+    # inline binding tables join right after the required part: tiny by
+    # construction -> broadcast; SPARQL multiset semantics (duplicate
+    # VALUES rows multiply) fall out of the plain inner join
+    for _, vvars, vrows in values:
+        spark = acc.sparkSession
+        schema = ", ".join(f"`{v}` string" for v in vvars)
+        vdf = spark.createDataFrame([tuple(r) for r in vrows], schema)
+        on = sorted(bound & set(vvars))
+        acc = (acc.join(F.broadcast(vdf), on) if on
+               else acc.crossJoin(F.broadcast(vdf)))
+        bound |= set(vvars)
     # variables introduced by earlier OPTIONAL groups may be null; SQL null
     # join keys never match, which diverges from SPARQL's unbound-is-
     # compatible rule — refuse that shape loudly

@@ -1032,3 +1032,84 @@ def test_top_level_isliteral_on_optional_var_rejected(spark, triples):
                 FILTER isLiteral(?n)
             }
         """)
+
+
+def test_values_single_var(spark, triples):
+    out = {(r["c"], r["n"]) for r in sparql_to_df(triples, """
+        prefix woc: <http://rdf.webofcode.org/woc/>
+        SELECT ?c ?n WHERE {
+            ?c a woc:Class . ?c woc:hasName ?n .
+            VALUES ?n { "Dog" "Missing" }
+        }
+    """).collect()}
+    assert out == {("e1", "Dog")}
+    # empty VALUES block -> empty (unsatisfiable) result
+    assert sparql_to_df(triples, """
+        prefix woc: <http://rdf.webofcode.org/woc/>
+        SELECT ?n WHERE { ?c woc:hasName ?n . VALUES ?n { } }
+    """).count() == 0
+
+
+def test_values_multi_var_and_free_var(spark, triples):
+    # pairs constrain JOINTLY: (e1, Animal) is not a valid combination
+    out = {(r["c"], r["n"]) for r in sparql_to_df(triples, """
+        prefix woc: <http://rdf.webofcode.org/woc/>
+        SELECT ?c ?n WHERE {
+            ?c woc:hasName ?n .
+            VALUES (?c ?n) { (<e1> "Dog") (<e1> "Animal") (<m1> "bark") }
+        }
+    """).collect()}
+    assert out == {("e1", "Dog"), ("m1", "bark")}
+    # a VALUES-only variable is a free column joined in (cross product)
+    out2 = {(r["n"], r["tag"]) for r in sparql_to_df(triples, """
+        prefix woc: <http://rdf.webofcode.org/woc/>
+        SELECT ?n ?tag WHERE {
+            ?c a woc:Class . ?c woc:hasName ?n .
+            VALUES ?tag { "x" "y" }
+        }
+    """).collect()}
+    assert out2 == {("Dog", "x"), ("Dog", "y"), ("Animal", "x"),
+                    ("Animal", "y")}
+    # filters on VALUES-bound variables apply after the join
+    out3 = {r["n"] for r in sparql_to_df(triples, """
+        prefix woc: <http://rdf.webofcode.org/woc/>
+        SELECT ?n WHERE {
+            ?c woc:hasName ?n . VALUES ?n { "Dog" "Animal" }
+            FILTER regex(?n, "^D")
+        }
+    """).collect()}
+    assert out3 == {"Dog"}
+
+
+def test_values_distributes_into_union(spark, triples):
+    out = {r["n"] for r in sparql_to_df(triples, """
+        prefix woc: <http://rdf.webofcode.org/woc/>
+        SELECT ?n WHERE {
+            VALUES ?n { "Dog" "bark" }
+            { ?c a woc:Class . ?c woc:hasName ?n . }
+            UNION
+            { ?m a woc:Method . ?m woc:hasName ?n . }
+        }
+    """).collect()}
+    assert out == {"Dog", "bark"}
+
+
+def test_values_errors(spark, triples):
+    for bad, msg in [
+        ("VALUES ?n { UNDEF }", "UNDEF"),
+        ("VALUES ?n { ?x }", "variables not allowed"),
+        ("VALUES (?a ?a) { (<e1> <e1>) }", "duplicate variable"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            sparql_to_df(triples, """
+                prefix woc: <http://rdf.webofcode.org/woc/>
+                SELECT * WHERE { ?c woc:hasName ?n . %s }
+            """ % bad)
+    with pytest.raises(ValueError, match="VALUES inside OPTIONAL"):
+        sparql_to_df(triples, """
+            prefix woc: <http://rdf.webofcode.org/woc/>
+            SELECT * WHERE {
+                ?c a woc:Class .
+                OPTIONAL { ?c woc:hasName ?n . VALUES ?n { "Dog" } }
+            }
+        """)

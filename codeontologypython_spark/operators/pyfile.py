@@ -509,29 +509,27 @@ def _collect_returns(fn):
     """Source-ordered ``return`` value expressions of a function body, not
     descending into nested defs/lambdas; ``None`` in the list marks a bare
     ``return``. Returns the sentinel ``None`` (no list) for generators —
-    astroid would infer a generator object, never the yielded type."""
+    astroid would infer a generator object, never the yielded type.
+
+    Iterative DFS pre-order (explicit stack) rather than a recursive
+    generator walk: this subtree scan runs once per function definition and
+    was the hottest frame in the extraction profile."""
     out: list = []
-
-    def walk(nodes):
-        for node in nodes:
-            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
-                                 ast.ClassDef, ast.Lambda)):
-                continue
-            if isinstance(node, (ast.Yield, ast.YieldFrom)):
-                raise _IsGenerator
-            if isinstance(node, ast.Return):
-                out.append(node.value)
-            walk(ast.iter_child_nodes(node))
-
-    try:
-        walk(fn.body)
-    except _IsGenerator:
-        return None
+    skip = (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef, ast.Lambda)
+    stack = list(fn.body)
+    stack.reverse()
+    while stack:
+        node = stack.pop()
+        if isinstance(node, skip):
+            continue
+        if isinstance(node, (ast.Yield, ast.YieldFrom)):
+            return None
+        if isinstance(node, ast.Return):
+            out.append(node.value)
+        children = list(ast.iter_child_nodes(node))
+        children.reverse()
+        stack.extend(children)
     return out
-
-
-class _IsGenerator(Exception):
-    pass
 
 
 def build_local_infer_env(tree: ast.Module):
@@ -595,21 +593,39 @@ def build_local_infer_env(tree: ast.Module):
                 return node.id
         return None
 
+    # the annotation resolution and the return-collection subtree walk are
+    # round-invariant — memoize them so the 3-round fixpoint below re-walks
+    # nothing (only the env-dependent infer() of the collected expressions
+    # re-runs); this was ~25% of per-file extraction time
+    _static: dict[int, tuple] = {}
+
     def fn_ret(fn):
-        if fn.returns is not None:
-            ann = structure_annotation(fn.returns)
-            if isinstance(ann, str):
-                return ann
-            if isinstance(ann, tuple) and ann and isinstance(ann[0], str):
-                return ann[0]           # parameterized -> bare generic
-        if isinstance(fn, ast.AsyncFunctionDef):
-            return None                 # a call yields a coroutine object
-        rets = _collect_returns(fn)
-        if rets is None:
-            return None                 # generator
-        if not rets:
-            return "NoneType"           # implicit return None
-        for r in rets:
+        key = id(fn)
+        cached = _static.get(key)
+        if cached is None:
+            ret = None
+            if fn.returns is not None:
+                ann = structure_annotation(fn.returns)
+                if isinstance(ann, str):
+                    ret = ("done", ann)
+                elif isinstance(ann, tuple) and ann and isinstance(ann[0], str):
+                    ret = ("done", ann[0])  # parameterized -> bare generic
+            if ret is None:
+                if isinstance(fn, ast.AsyncFunctionDef):
+                    ret = ("done", None)    # a call yields a coroutine object
+                else:
+                    rets = _collect_returns(fn)
+                    if rets is None:
+                        ret = ("done", None)       # generator
+                    elif not rets:
+                        ret = ("done", "NoneType")  # implicit return None
+                    else:
+                        ret = ("rets", rets)
+            _static[key] = cached = ret
+        tag, v = cached
+        if tag == "done":
+            return v
+        for r in v:
             t = "NoneType" if r is None else infer(r)
             if t is not None:
                 return t
@@ -1098,12 +1114,22 @@ class FileExtractor:
 
     # ---- statement dispatch ----------------------------------------------
 
+    # node type -> handler cache: avoids a string concat + getattr per
+    # statement (the dispatch runs ~500x per file); None caches the
+    # unmodelled-kind fallback, the _UNSET sentinel marks a cold entry
+    _STMT_DISPATCH: dict = {}
+    _UNSET = object()
+
     def _extract_stmt(self, stmt, block_eid: str | None) -> list[str]:
         """Extract one statement; return its chain elements (usually one eid;
         try statements contribute several, extract/utils.py:71-98)."""
-        m = getattr(self, "_stmt_" + type(stmt).__name__, None)
+        cls = type(stmt)
+        m = FileExtractor._STMT_DISPATCH.get(cls, FileExtractor._UNSET)
+        if m is FileExtractor._UNSET:
+            m = getattr(FileExtractor, "_stmt_" + cls.__name__, None)
+            FileExtractor._STMT_DISPATCH[cls] = m
         if m is not None:
-            return m(stmt, block_eid)
+            return m(self, stmt, block_eid)
         # unmodelled statement kinds -> plain woc:Statement
         return [self._stmt_base(stmt, "Statement", "Stmt", block_eid)]
 

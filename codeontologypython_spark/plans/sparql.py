@@ -589,9 +589,15 @@ def _plus_pattern_df(triples: DataFrame, pat: _Pattern,
                            F.col("dst").alias("m"),
                            F.col("lit").alias("p_lit"))
         for _ in range(_PLUS_MAX_ROUNDS):
+            # distinct BEFORE the anti-join: two paths converging on the
+            # same (src, dst) in one round (a diamond) would otherwise both
+            # enter the closure — SPARQL 1.1 arbitrary-length paths are
+            # duplicate-free, and duplicate frontier rows re-expand every
+            # later round (up-to-exponential growth in diamond-dense graphs)
             stepped = (frontier.join(pre, F.col("src") == F.col("m"))
                        .filter(~F.col("p_lit"))
-                       .select(F.col("p_src").alias("src"), "dst", "lit"))
+                       .select(F.col("p_src").alias("src"), "dst", "lit")
+                       .distinct())
             new = (stepped.join(closure, ["src", "dst", "lit"], "left_anti")
                    .localCheckpoint())
             if new.isEmpty():
@@ -614,10 +620,13 @@ def _plus_pattern_df(triples: DataFrame, pat: _Pattern,
     base = edges.select(F.col("src").alias("m"), F.col("dst").alias("nxt"),
                         F.col("lit").alias("nlit"))
     for _ in range(_PLUS_MAX_ROUNDS):
+        # distinct for the same diamond-convergence reason as the backward
+        # walk above (SPARQL paths are duplicate-free sets of node pairs)
         stepped = (frontier.filter(~F.col("lit"))
                    .join(base, F.col("dst") == F.col("m"))
                    .select("src", F.col("nxt").alias("dst"),
-                           F.col("nlit").alias("lit")))
+                           F.col("nlit").alias("lit"))
+                   .distinct())
         new = (stepped.join(closure, ["src", "dst", "lit"], "left_anti")
                .localCheckpoint())
         if new.isEmpty():
@@ -750,7 +759,18 @@ def _compile_bgp(triples: DataFrame, patterns: list[_Pattern],
                                    [f for f in filters if f not in post])
     # inline binding tables join right after the required part: tiny by
     # construction -> broadcast; SPARQL multiset semantics (duplicate
-    # VALUES rows multiply) fall out of the plain inner join
+    # VALUES rows multiply) fall out of the plain inner join.
+    # A VALUES variable bound ONLY inside an OPTIONAL group has no faithful
+    # compilation here (joining it before the left join pre-binds the value
+    # and fabricates bindings the LeftJoin should have left null) — refuse
+    # loudly, mirroring the top-level isLiteral-on-OPTIONAL-var guard
+    for _, vvars, _ in values:
+        conflict = sorted(set(vvars) & (opt_vars - req_vars))
+        if conflict:
+            raise ValueError(
+                "VALUES binds variables bound only inside an OPTIONAL "
+                f"group: {conflict} — unsupported (bind them in the "
+                "required part, or move the VALUES into the group)")
     for _, vvars, vrows in values:
         spark = acc.sparkSession
         schema = ", ".join(f"`{v}` string" for v in vvars)

@@ -254,6 +254,25 @@ def test_entry_smoke(spark):
     assert df.count() >= 0
 
 
+def test_kg_triples_releases_stage_caches(spark):
+    """ADVICE r5: the _kg_triples sweep must release every stage cache the
+    pipeline materialized — including InMemoryRelation buffers whose RDD
+    ids only register lazily during the final localCheckpoint — while
+    keeping exactly the checkpoint RDD itself alive (mirrors
+    test_pipeline_releases_stage_caches)."""
+    import __spark_entry__ as entry_mod
+
+    jsc = spark.sparkContext._jsc
+    entry_mod._KG_CACHE.pop(id(spark), None)
+    before = {r.id() for r in jsc.getPersistentRDDs().values()}
+    t = entry_mod._kg_triples(spark)
+    after = {r.id() for r in jsc.getPersistentRDDs().values()}
+    ck_id = t._jdf.queryExecution().analyzed().rdd().id()
+    # exactly ONE new persisted RDD survives the call: the checkpoint
+    assert after - before == {ck_id}, "kg cache sweep leaked stage caches"
+    assert t.count() > 0  # the surviving checkpoint is the usable cache
+
+
 def test_argless_ptype_degrades_to_generic(spark):
     """Box[T] with Box corpus-local and T unresolvable: the reference links
     the bare generic class when no type argument resolves (is_all_none rule,

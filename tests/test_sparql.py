@@ -1113,3 +1113,50 @@ def test_values_errors(spark, triples):
                 OPTIONAL { ?c woc:hasName ?n . VALUES ?n { "Dog" } }
             }
         """)
+
+
+def test_plus_path_diamond_no_duplicates(spark):
+    """ADVICE r5: two paths converging on the same (src, dst) in one round
+    (a diamond) must not produce duplicate closure rows — SPARQL 1.1
+    arbitrary-length paths are duplicate-free, and without the per-round
+    distinct the duplicates also re-expand every later round."""
+    rows = [
+        ("e1", WOC + "extends", "e2", False),
+        ("e1", WOC + "extends", "e3", False),
+        ("e2", WOC + "extends", "e4", False),
+        ("e3", WOC + "extends", "e4", False),
+        ("e4", WOC + "extends", "e5", False),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_literal boolean")
+    # forward walk, NO DISTINCT in the query: row multiset must already be
+    # duplicate-free
+    got = [(r["c"], r["a"]) for r in sparql_to_df(t, """
+        prefix woc: <http://rdf.webofcode.org/woc/>
+        SELECT ?c ?a WHERE { ?c woc:extends+ ?a . }
+    """).collect()]
+    assert sorted(got) == sorted({
+        ("e1", "e2"), ("e1", "e3"), ("e1", "e4"), ("e1", "e5"),
+        ("e2", "e4"), ("e2", "e5"), ("e3", "e4"), ("e3", "e5"),
+        ("e4", "e5")})
+    # backward walk (constant object) through the diamond: same contract
+    got2 = [r["c"] for r in sparql_to_df(t, """
+        prefix woc: <http://rdf.webofcode.org/woc/>
+        SELECT ?c WHERE { ?c woc:extends+ <e5> . }
+    """).collect()]
+    assert sorted(got2) == ["e1", "e2", "e3", "e4"]
+
+
+def test_values_on_optional_only_var_rejected(spark, triples):
+    """ADVICE r5: a VALUES variable bound only inside an OPTIONAL group
+    would be pre-bound before the left join (fabricating bindings the
+    LeftJoin should have left null) — must raise, not mis-evaluate."""
+    with pytest.raises(ValueError, match="OPTIONAL"):
+        sparql_to_df(triples, """
+            prefix woc: <http://rdf.webofcode.org/woc/>
+            SELECT * WHERE {
+                ?c a woc:Class .
+                OPTIONAL { ?c woc:hasName ?n . }
+                VALUES ?n { "Dog" }
+            }
+        """)

@@ -22,17 +22,28 @@ from codeontologypython_spark.functions.textops import (
     shingles_col,
     tokens_col,
 )
-from codeontologypython_spark.operators.relational import top1_per_group
+from codeontologypython_spark.operators.relational import fan_out
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep the min-id representative per exact content hash; adds the group
-    size. One shuffle on md5(text)."""
+    size. ONE map-side-combining aggregation on md5(text) produces both the
+    representative row (min(struct) keyed by id first — ids are unique, so
+    this equals the min-id row) and the group size; the round-5 form paid a
+    row_number window shuffle PLUS a size aggregation PLUS a join to stitch
+    them (CLAUDE.md pitfall 5)."""
     h = df.withColumn("content_md5", F.md5(F.col(text_col)))
-    reps = top1_per_group(h, ["content_md5"], [F.col(id_col)])
-    sizes = h.groupBy("content_md5").agg(F.count("*").alias("dup_count"))
-    return reps.join(sizes, "content_md5")
+    others = [c for c in df.columns if c != id_col]
+    agg = (h.groupBy("content_md5")
+           .agg(F.min(F.struct(F.col(id_col),
+                               *[F.col(c) for c in others])).alias("w"),
+                F.count("*").alias("dup_count")))
+    # column order matches the round-5 join output: content_md5, df's
+    # columns, dup_count
+    return agg.select("content_md5",
+                      *[F.col(f"w.{c}").alias(c) for c in df.columns],
+                      "dup_count")
 
 
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
@@ -58,8 +69,20 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     stays an exact set similarity (of the informative-shingle sets) and the
     SQL oracle mirrors it bit-for-bit."""
     # feeds the drop-set scan, the doc-size aggregation and the pair
-    # generation — materialize once
-    sh = _shingle_table(df, text_col, id_col, n).localCheckpoint()
+    # generation — materialize once. fan_out first: the shingle explosion is
+    # the dominant expression cost and a single-file scan would otherwise
+    # evaluate it on one core (no-op at corpus scale, relational.fan_out)
+    fanned = fan_out(df)
+    sh = _shingle_table(fanned, text_col, id_col,
+                        n).localCheckpoint(eager=False)
+    if fanned is not df:
+        # the input was single-file small, so the exploded table is small
+        # too: the three downstream jobs (drop-set scan, sizes, posting
+        # lists) would pay full-width task scheduling over KB-sized
+        # checkpoint partitions — read them through a narrow coalesce
+        # (no data movement). Never taken at corpus scale (fan_out no-ops).
+        par = df.sparkSession.sparkContext.defaultParallelism
+        sh = sh.coalesce(max(2, par // 8))
     if max_shingle_df is not None:
         # the HOT shingles are few: broadcast the tiny drop set so capping is
         # a map-side anti-join, and every surviving posting list is <= cap —
@@ -127,8 +150,10 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
         return F.zip_with(acc, variants, lambda x, y: F.least(x, y))
 
     mins = F.aggregate(sh, init, step)
-    packed = (df.select(F.col(id_col).alias("doc"), mins.alias("mins"))
-              .localCheckpoint())
+    # fan_out: the md5-per-shingle fold is the signature's whole cost and a
+    # single-file scan would evaluate it on one core (no-op at corpus scale)
+    packed = (fan_out(df).select(F.col(id_col).alias("doc"), mins.alias("mins"))
+              .localCheckpoint(eager=False))
     # a shingle-less doc never updated the fold: its mins are still the
     # (P+1) sentinel — drop it AFTER materialization (a pre-checkpoint
     # filter would get pushed into the projection and re-run the fold)
@@ -150,7 +175,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # est-Jaccard inline — one shuffle of (doc, sig, band, key) instead of a
     # candidate-distinct shuffle plus two signature re-joins; the threshold
     # filter runs before the pair-dedup distinct, shrinking that shuffle too
-    sig = minhash_signature(df, text_col, id_col, n, num_hashes).localCheckpoint()
+    sig = minhash_signature(df, text_col, id_col, n,
+                            num_hashes).localCheckpoint(eager=False)
     r = num_hashes // bands
     band_cols = [
         F.struct(F.lit(b).alias("band"),
@@ -219,12 +245,19 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     >= 3 of the 6 chunk pairs, so the candidate set is a superset and the
     final equal-chunks filter yields identical rows."""
     assert min_equal_chunks >= 2, "chunk-pair bucketing needs >=2 equal chunks"
-    sh = df.select(F.col(id_col).alias("doc"),
-                   simhash64(F.col(text_col)).alias("sh"))
+    # fan_out: the 64-bit-majority expression is heavy and a single-file
+    # scan would evaluate it on one core (no-op at corpus scale)
+    sh = fan_out(df).select(F.col(id_col).alias("doc"),
+                            simhash64(F.col(text_col)).alias("sh"))
+    # materialize ONCE before the 6 chunk-pair self-joins: each join branch
+    # re-derives both of its sides, so without the barrier the (very large —
+    # 64 bit-majority folds) simhash expression tree is re-evaluated 12x AND
+    # shipped in every branch's task binary (~11 MB each, measured as the
+    # whole operator's wall time at small scale)
     chunks = sh.select(
         "doc", "sh",
         *[(F.shiftright("sh", 16 * i).bitwiseAND(F.lit(0xFFFF)))
-          .alias(f"c{i}") for i in range(4)])
+          .alias(f"c{i}") for i in range(4)]).localCheckpoint(eager=False)
     pairs = None
     combos = [(i, j) for i in range(4) for j in range(i + 1, 4)]
     for i, j in combos:

@@ -35,10 +35,15 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """Exact top-k neighbors per query (excluding self). Rounded cosine keeps
     the ranking engine-portable (float-sum ulp differences vs SQL oracles);
     ties break on neighbor id."""
+    from codeontologypython_spark.operators.relational import fan_out
+
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("cv"))
+    # fan_out: the |Q| x N cosine folds evaluate on the corpus side's
+    # partitions, and a single-file scan would run them on one core
+    # (no-op at corpus scale, relational.fan_out)
+    c = fan_out(corpus).select(F.col(id_col).alias("neighbor_id"),
+                               F.col(vec_col).alias("cv"))
     scored = (q.crossJoin(c)
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .withColumn("cos", F.round(
@@ -76,10 +81,13 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     At scale the corpus is written bucketed by signature so the probe is a
     co-located join; recall is traded via n_planes (fewer planes -> bigger
     buckets -> higher recall)."""
+    from codeontologypython_spark.operators.relational import fan_out
+
     planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("cv"),
-                      lsh_signature(F.col(vec_col), planes).alias("bucket"))
+    # fan_out: n_planes dot products per corpus row (no-op at corpus scale)
+    c = fan_out(corpus).select(F.col(id_col).alias("neighbor_id"),
+                               F.col(vec_col).alias("cv"),
+                               lsh_signature(F.col(vec_col), planes).alias("bucket"))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"),
                        lsh_signature(F.col(vec_col), planes).alias("bucket"))
@@ -155,9 +163,13 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     exact cosine inside them — the inverted-file alternative to sign-LSH
     bucketing (at scale the corpus is written partitioned/bucketed by cell,
     so probes are partition-pruned scans, never full passes)."""
+    from codeontologypython_spark.operators.relational import fan_out
+
     cents = ivf_centroids(corpus, n_cells, iters, id_col, vec_col)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).cast("array<double>").alias("cv"))
+    # fan_out: the n_cells x dim argmin expression per corpus row is the
+    # probe's map cost (no-op at corpus scale)
+    c = fan_out(corpus).select(F.col(id_col).alias("neighbor_id"),
+                               F.col(vec_col).cast("array<double>").alias("cv"))
     c = c.withColumn("cell", _assign_cell(F.col("cv"), cents))
     dists = F.array(*[
         F.struct(_sq_dist(F.col("qv"), cent).alias("d"),
@@ -257,9 +269,15 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.98,
                              seed: int = 7) -> DataFrame:
     """Embedding-cosine near-duplicate detection: LSH bucket self-join +
     exact cosine filter."""
+    from codeontologypython_spark.operators.relational import fan_out
+
     planes = _hyperplanes(dim, n_planes, seed)
-    t = corpus.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"),
-                      lsh_signature(F.col(vec_col), planes).alias("bucket"))
+    # fan_out the signature compute; localCheckpoint so the self-join's two
+    # branches don't each re-evaluate the n_planes dot products
+    t = (fan_out(corpus)
+         .select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"),
+                 lsh_signature(F.col(vec_col), planes).alias("bucket"))
+         .localCheckpoint(eager=False))
     a = t.select(F.col("doc").alias("doc_a"), F.col("v").alias("va"), "bucket")
     b = t.select(F.col("doc").alias("doc_b"), F.col("v").alias("vb"), "bucket")
     return (a.join(b, "bucket")

@@ -11,15 +11,17 @@ Scale-first:
 - spans are keyed by md5 (32-char key, uniform — no skew); the
   first-occurrence pick is a map-side-combining ``min(struct)`` aggregation,
   never a row_number window (CLAUDE.md pitfall 5);
-- three span-sized shuffles total: groupBy(hash), the hash-equi join back,
-  and the per-doc reassembly; nothing is O(n^2) and nothing collects;
-- the exploded span stream is deliberately NOT persisted even though two
-  consumers recompute it (the first-occurrence agg and the join-back): at
-  corpus scale the exploded stream is the size of the corpus itself, and
-  re-running a split+posexplode over the scan is far cheaper than caching
-  it (measured: recompute costs ~0 at sf0.1, 5.1 s best-of-3 total);
-- reassembly carries (pos, span) structs and sorts per-doc arrays JVM-side
-  (``array_sort`` on structs orders by the leading pos field).
+- span TEXT never crosses an exchange (guide-§8 shape: decide on small
+  rows, move heavy rows once): the decision pass shuffles only
+  ``(md5, doc, pos)`` keys, the survivors collapse to a per-doc
+  kept-position list, and each document is rebuilt locally from its OWN
+  spans array by position — so the only byte-mass movement is the
+  kept-position join back to the corpus (broadcast when the per-doc list
+  table is small, one hash join at scale). The round-5 form shuffled the
+  exploded span text twice (hash join-back + per-doc reassembly);
+- the exploded key stream is deliberately NOT persisted: re-running a
+  split+posexplode over the scan is far cheaper than caching it;
+- nothing is O(n^2) and nothing collects.
 
 The DuckDB oracle in ``__spark_entry__.py`` reproduces the same pipeline
 (md5 keys, min-first-key, ordered string_agg) bit-identically.
@@ -63,27 +65,33 @@ def span_dedup(df: DataFrame, spans: Column, id_col: str = "doc_id",
     a document whose spans were all seen earlier comes back with
     text_clean = '' and n_kept = 0.
     """
+    from codeontologypython_spark.operators.relational import fan_out
+
     did = F.col(id_col)
-    exploded = (df.select(did, F.posexplode(spans).alias("pos", "span"))
-                .withColumn("h", F.md5(F.col("span"))))
+    src = fan_out(df)
+    # decision pass on keys only: the span column is projected away before
+    # the exchange, so the groupBy shuffles ~50 B/span, not the text
+    exploded = (src.select(did, F.posexplode(spans).alias("pos", "span"))
+                .select(did, "pos", F.md5(F.col("span")).alias("h")))
     first = (exploded.groupBy("h")
              .agg(F.min(F.struct(did.alias("d"), F.col("pos").alias("p")))
                   .alias("first")))
-    kept = (exploded.join(first, "h")
-            .filter((did == F.col("first.d"))
-                    & (F.col("pos") == F.col("first.p"))))
-    rebuilt = (kept.groupBy(id_col)
-               .agg(F.concat_ws(join_sep, F.transform(
-                        F.array_sort(F.collect_list(
-                            F.struct("pos", "span"))),
-                        lambda x: x["span"])).alias("text_clean"),
-                    F.count("*").alias("n_kept")))
-    base = df.select(did, F.size(spans).cast("long").alias("n_spans"))
-    return (base.join(rebuilt, id_col, "left")
+    # per-doc kept positions (sorted = original span order)
+    keep = (first.groupBy(F.col("first.d").alias(id_col))
+            .agg(F.sort_array(F.collect_list("first.p")).alias("keep_pos")))
+    # placement pass: rebuild each doc locally from its OWN spans array —
+    # the only join that touches span bytes, and the position-list side is
+    # broadcastable when small
+    base = src.select(did, spans.alias("__spans"))
+    n_kept = F.coalesce(F.size("keep_pos").cast("long"),
+                        F.lit(0).cast("long"))
+    return (base.join(keep, id_col, "left")
             .select(did,
-                    F.coalesce("text_clean", F.lit("")).alias("text_clean"),
-                    F.coalesce("n_kept", F.lit(0).cast("long"))
-                    .alias("n_kept"),
-                    (F.col("n_spans")
-                     - F.coalesce("n_kept", F.lit(0).cast("long")))
+                    F.coalesce(
+                        F.concat_ws(join_sep, F.transform(
+                            F.col("keep_pos"),
+                            lambda p: F.element_at(F.col("__spans"), p + 1))),
+                        F.lit("")).alias("text_clean"),
+                    n_kept.alias("n_kept"),
+                    (F.size("__spans").cast("long") - n_kept)
                     .alias("n_removed")))

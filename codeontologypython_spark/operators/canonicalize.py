@@ -20,10 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from codeontologypython_spark import woc
-from codeontologypython_spark.operators.relational import (
-    reliable_barrier,
-    window_dedup,
-)
+from codeontologypython_spark.operators.relational import reliable_barrier
 
 WOC = woc.WOC
 
@@ -322,7 +319,7 @@ def degrade_argless_ptypes(entities: DataFrame, triples: DataFrame,
                         .select("eid").distinct())
     degenerate = (ptypes.join(generic, "eid")
                   .join(has_resolved_arg, "eid", "left_anti")
-                  .localCheckpoint())
+                  .localCheckpoint(eager=False))
     if degenerate.isEmpty():
         return triples
     # rewrite inbound type links to the generic class (tiny map, broadcast)

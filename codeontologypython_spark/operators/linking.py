@@ -166,11 +166,12 @@ def resolve_mentions(mentions: DataFrame, symbol_table: DataFrame,
         # Two independent materializations of monotonically_increasing_id can
         # silently desynchronize (task retry, AQE coalesce, an upstream
         # repartition), dropping or double-resolving mentions.
-        m = m.localCheckpoint()
+        m = m.localCheckpoint()  # EAGER on purpose: pins the
+        # monotonically_increasing_id values before any consumer runs
     joined = join_st(m)
     if alias_map is not None:
         # misses only: most mentions resolve in round 1 or are external
-        joined = joined.localCheckpoint()
+        joined = joined.localCheckpoint(eager=False)
         miss = (m.join(joined.select("mention_id").distinct(),
                        "mention_id", "left_anti")
                 .filter(F.col("fqn").contains(".")))
@@ -302,14 +303,15 @@ def expand_wildcards(mentions: DataFrame, entities: DataFrame,
                         .withColumn("w_module", module_fqn_col(F.col("path")))
                         .select(F.col("w_module"),
                                 F.element_at("candidates", 1).alias("src_module")))
-    exports = top_level.localCheckpoint()
-    imp_stmt_modules = imp_stmt_modules.localCheckpoint()
+    exports = top_level.localCheckpoint(eager=False)
+    imp_stmt_modules = imp_stmt_modules.localCheckpoint(eager=False)
     for _ in range(max_rounds):
         lifted = (imp_stmt_modules
                   .join(exports.withColumnRenamed("module_fqn", "src_module"),
                         "src_module")
                   .select(F.col("w_module").alias("module_fqn"), "eid"))
-        new = lifted.join(exports, ["module_fqn", "eid"], "left_anti").localCheckpoint()
+        new = lifted.join(exports, ["module_fqn", "eid"],
+                          "left_anti").localCheckpoint(eager=False)
         if new.isEmpty():
             break
         exports = exports.unionByName(new)
@@ -407,7 +409,7 @@ def link_stage(entities: DataFrame, triples: DataFrame, mentions: DataFrame,
     # materialization each of those re-executes its whole derivation —
     # entity-table scans plus all chase rounds — once per use (measured as
     # the dominant Stage-2 cost on dense corpora)
-    symtab = build_symbol_table(entities).localCheckpoint()
+    symtab = build_symbol_table(entities).localCheckpoint(eager=False)
     if kind_counts.get("alias", 0):
         symtab = chase_aliases(symtab, mentions, skip_empty_probe=True,
                                base_is_materialized=True)
@@ -432,7 +434,7 @@ def link_stage(entities: DataFrame, triples: DataFrame, mentions: DataFrame,
         alias_map = (symtab.filter(F.col("via_alias")).join(canon, "eid")
                      .filter(F.col("fqn") != F.col("canon_fqn"))
                      .select(F.col("fqn").alias("alias_fqn"), "canon_fqn")
-                     .localCheckpoint())  # consumed by isEmpty + miss round
+                     .localCheckpoint(eager=False))  # consumed by isEmpty + miss round
         if alias_map.isEmpty():
             alias_map = None
     # resolved feeds several consumers (edges, overrides, fields, output):
@@ -440,7 +442,7 @@ def link_stage(entities: DataFrame, triples: DataFrame, mentions: DataFrame,
     resolved = resolve_mentions(mentions, symtab,
                                 broadcast_symtab=broadcast_symtab,
                                 salt=salt,
-                                alias_map=alias_map).localCheckpoint()
+                                alias_map=alias_map).localCheckpoint(eager=False)
     wild = expand_wildcards(mentions, entities, symtab,
                             known_empty=(kind_counts.get("wildcard", 0) == 0))
 
@@ -451,7 +453,7 @@ def link_stage(entities: DataFrame, triples: DataFrame, mentions: DataFrame,
         # extends edges only arise from resolved 'base' mentions: zero base
         # mentions proves the edge set empty without probing it
         known_empty_edges=(True if kind_counts.get("base", 0) == 0
-                           else None)).localCheckpoint()
+                           else None)).localCheckpoint(eager=False)
     mro = contrib.filter(F.col("out") == "mro")
     overrides = resolve_overrides(entities, triples, mro)
 

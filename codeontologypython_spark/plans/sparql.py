@@ -583,7 +583,7 @@ def _plus_pattern_df(triples: DataFrame, pat: _Pattern,
         frontier = edges.filter(
             (F.col("dst") == ov)
             & (F.col("lit") if ok_ == "lit" else ~F.col("lit"))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         closure = frontier
         pre = edges.select(F.col("src").alias("p_src"),
                            F.col("dst").alias("m"),
@@ -599,7 +599,7 @@ def _plus_pattern_df(triples: DataFrame, pat: _Pattern,
                        .select(F.col("p_src").alias("src"), "dst", "lit")
                        .distinct())
             new = (stepped.join(closure, ["src", "dst", "lit"], "left_anti")
-                   .localCheckpoint())
+                   .localCheckpoint(eager=False))
             if new.isEmpty():
                 break
             closure = closure.unionByName(new)
@@ -615,7 +615,7 @@ def _plus_pattern_df(triples: DataFrame, pat: _Pattern,
                 "_PLUS_MAX_ROUNDS or anchor the path")
         return closure.select(F.col("src").alias(sv)), {sv}
     frontier = (edges.filter(F.col("src") == sv) if sk == "iri"
-                else edges).localCheckpoint()
+                else edges).localCheckpoint(eager=False)
     closure = frontier
     base = edges.select(F.col("src").alias("m"), F.col("dst").alias("nxt"),
                         F.col("lit").alias("nlit"))
@@ -628,7 +628,7 @@ def _plus_pattern_df(triples: DataFrame, pat: _Pattern,
                            F.col("nlit").alias("lit"))
                    .distinct())
         new = (stepped.join(closure, ["src", "dst", "lit"], "left_anti")
-               .localCheckpoint())
+               .localCheckpoint(eager=False))
         if new.isEmpty():
             break
         closure = closure.unionByName(new)

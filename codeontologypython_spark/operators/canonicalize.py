@@ -362,13 +362,24 @@ def prune_dangling_ptypes(entities: DataFrame, triples: DataFrame,
         checkpoint_dir, "ptypes_init")
     if ptypes.isEmpty():
         return triples
-    # all the per-round probes filter on 3 type-predicates — restrict once
-    # per round so the full triple stream is only anti-joined, never grouped
+    # Round-6 shape: the fixpoint only ever inspects the 4 type predicates,
+    # so iterate over THAT small subgraph (restricted once, barriered) and
+    # accumulate the drop set; the full triple stream is anti-joined exactly
+    # ONCE at the end. The round-5 loop re-barriered the whole multi-GB
+    # stream every round — up to 6 full-stream materializations (measured as
+    # the bulk of Stage-3 build time on the realworld corpus).
+    type_preds = (WOC + "hasGenericType", WOC + "hasActualTypeArgument",
+                  WOC + "hasType", WOC + "hasArgumentType")
+    tp = reliable_barrier(
+        triples.filter(F.col("pred").isin(*type_preds))
+        .select("subj", "pred", "obj", "obj_is_literal"),
+        checkpoint_dir, "ptypes_subgraph")
+    dropped = None
     for i in range(6):
-        resolved_generic = (triples
+        resolved_generic = (tp
                             .filter(F.col("pred") == WOC + "hasGenericType")
                             .select(F.col("subj").alias("eid")).distinct())
-        inbound = (triples
+        inbound = (tp
                    .filter(F.col("pred").isin(WOC + "hasType",
                                               WOC + "hasArgumentType")
                            & ~F.col("obj_is_literal"))
@@ -378,26 +389,37 @@ def prune_dangling_ptypes(entities: DataFrame, triples: DataFrame,
             .unionByName(ptypes.join(inbound, "eid", "left_anti"))
             .distinct(), checkpoint_dir, f"ptypes_bad_{i}")
         if bad.isEmpty():
-            return triples
-        targs = (triples.filter(F.col("pred") == WOC + "hasActualTypeArgument")
+            break
+        targs = (tp.filter(F.col("pred") == WOC + "hasActualTypeArgument")
                  .join(F.broadcast(bad.withColumnRenamed("eid", "subj")), "subj")
                  .select(F.col("obj").alias("eid")))
         # the drop set is tiny (a subset of the type-annotation entities):
-        # broadcast it so the two anti-joins are map-side and the full triple
-        # stream is never shuffled
+        # broadcast it so the anti-joins are map-side
         drop = reliable_barrier(bad.unionByName(targs).distinct(),
                                 checkpoint_dir, f"ptypes_drop_{i}")
-        triples = reliable_barrier(
-            triples
+        dropped = drop if dropped is None else dropped.unionByName(drop)
+        tp = reliable_barrier(
+            tp
             .join(F.broadcast(drop.withColumnRenamed("eid", "subj")),
                   "subj", "left_anti")
             .join(F.broadcast(drop.withColumnRenamed("eid", "obj")),
-                  "obj", "left_anti"), checkpoint_dir, f"ptypes_triples_{i}")
+                  "obj", "left_anti"), checkpoint_dir, f"ptypes_sub_{i}")
         ptypes = reliable_barrier(ptypes.join(drop, "eid", "left_anti"),
                                   checkpoint_dir, f"ptypes_left_{i}")
         if ptypes.isEmpty():
-            return triples
-    return triples
+            break
+    if dropped is None:
+        return triples
+    # per-round drop sets are disjoint (each round's bad/targs were removed
+    # from ptypes/tp before the next), so sequential per-round anti-joins
+    # equal one anti-join with their union
+    dropped = reliable_barrier(dropped.distinct(), checkpoint_dir,
+                               "ptypes_drop_all")
+    return (triples
+            .join(F.broadcast(dropped.withColumnRenamed("eid", "subj")),
+                  "subj", "left_anti")
+            .join(F.broadcast(dropped.withColumnRenamed("eid", "obj")),
+                  "obj", "left_anti"))
 
 
 def audit_iri_uniqueness(iri_map: DataFrame) -> DataFrame:

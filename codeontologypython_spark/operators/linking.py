@@ -105,13 +105,21 @@ def chase_aliases(symbol_table: DataFrame, mentions: DataFrame,
               else reliable_barrier(symbol_table, checkpoint_dir,
                                     "alias_symtab"))
     for i in range(max_iterations):
+        # best candidate per alias via map-side-combining min(struct)
+        # (pitfall 5): ordering (priority, kind rank, via_alias, eid) is all-
+        # ascending and eid-unique, so the winner equals the old row_number
+        # window's — without the per-round window sort+full-row shuffle
         hit = (cands.join(symtab.withColumnRenamed("fqn", "cand_fqn"),
                           "cand_fqn")
-               .transform(lambda d: top1_per_group(
-                   d, ["alias_fqn"],
-                   [F.col("priority"), _kind_rank_col(), F.col("via_alias"),
-                    F.col("eid")]))
-               .select(F.col("alias_fqn").alias("fqn"), "eid", "kind", "repo",
+               .groupBy("alias_fqn")
+               .agg(F.min(F.struct(
+                   F.col("priority"), _kind_rank_col().alias("kr"),
+                   F.col("via_alias"), F.col("eid"), F.col("kind"),
+                   F.col("repo"))).alias("w"))
+               .select(F.col("alias_fqn").alias("fqn"),
+                       F.col("w.eid").alias("eid"),
+                       F.col("w.kind").alias("kind"),
+                       F.col("w.repo").alias("repo"),
                        F.lit(True).alias("via_alias")))
         # new = aliases not yet present AS ALIAS ROWS (an entity row under
         # the same fqn does not satisfy the alias — the chased target must
@@ -338,14 +346,29 @@ def resolve_overrides(entities: DataFrame, triples: DataFrame,
     """P4 cross-file: method overrides via joins. A method m of class C
     overrides the FIRST same-name method along C's exact C3 MRO
     (transformer/__init__.py:54-84 first-match-in-MRO), realized as a
-    min-MRO-rank pick over the (root, anc, rank) MRO table."""
+    min-MRO-rank pick over the (root, anc, rank) MRO table.
+
+    Shape (round-6): only methods of classes that participate in some
+    hierarchy (MRO roots or ancestors) can produce or receive an override,
+    so the hasMethod/Method-name join is semi-join-restricted to that class
+    set FIRST and materialized ONCE (the round-5 form executed the full
+    methods join twice — once per side — over the whole cached triple/entity
+    streams; measured as the dominant link-stage cost). The final pick is a
+    map-side-combining min(struct) instead of a row_number window
+    (pitfall 5; (rank, anc_method) is unique per candidate row, so the
+    winner is identical)."""
+    hier_classes = (mro.select(F.col("root").alias("class_eid"))
+                    .unionByName(mro.select(F.col("cls").alias("class_eid")))
+                    .distinct())
     has_method = (triples.filter(F.col("pred") == WOC + "hasMethod")
                   .select(F.col("subj").alias("class_eid"),
-                          F.col("obj").alias("method_eid")))
+                          F.col("obj").alias("method_eid"))
+                  .join(hier_classes, "class_eid", "left_semi"))
     named = entities.filter(F.col("kind") == "Method").select(
         F.col("eid").alias("method_eid"), F.col("name").alias("mname"),
         "repo", "commit")
-    methods = has_method.join(named, "method_eid")
+    methods = (has_method.join(named, "method_eid")
+               .localCheckpoint(eager=False))
 
     anc_methods = (methods
                    .select(F.col("class_eid").alias("anc_class"),
@@ -359,12 +382,15 @@ def resolve_overrides(entities: DataFrame, triples: DataFrame,
                   (F.col("mro_anc") == F.col("anc_class"))
                   & (F.col("mname") == F.col("anc_mname")))
             .select("repo", "commit", "method_eid", "anc_method", "rank"))
-    best = top1_per_group(cand, ["method_eid"],
-                          [F.col("rank"), F.col("anc_method")])
+    best = (cand.groupBy("method_eid")
+            .agg(F.min(F.struct("rank", "anc_method", "repo", "commit"))
+                 .alias("w")))
     return best.select(
-        "repo", "commit", F.col("method_eid").alias("subj"),
+        F.col("w.repo").alias("repo"), F.col("w.commit").alias("commit"),
+        F.col("method_eid").alias("subj"),
         F.lit(WOC + "overrides").alias("pred"),
-        F.col("anc_method").alias("obj"), F.lit(False).alias("obj_is_literal"))
+        F.col("w.anc_method").alias("obj"),
+        F.lit(False).alias("obj_is_literal"))
 
 
 # above this many symbol-table rows the broadcast stops paying (≈ the

@@ -29,9 +29,15 @@ def write_triple_table(triples: DataFrame, path: str,
                        fmt: str = "parquet") -> None:
     # repartition by the partition column first: otherwise every shuffle
     # task writes a file into every bucket directory (tasks x buckets small
-    # files + per-task dynamic-partition sort — measured 6x slower)
+    # files + per-task dynamic-partition sort — measured 6x slower).
+    # The deterministic within-bucket subj salt spreads each bucket over up
+    # to 16 writers: a corpus dominated by ONE repo (e.g. the realworld
+    # bench corpus) would otherwise funnel the whole table through a single
+    # write task (measured 12s there). xxhash64(subj) is content-derived,
+    # so task retries reproduce the same row placement (guide §2.5); AQE
+    # coalesces the resulting shuffle back to sensibly-sized writers.
     (with_repo_bucket(triples)
-     .repartition("repo_bucket")
+     .repartition("repo_bucket", F.pmod(F.xxhash64("subj"), F.lit(16)))
      .write.mode("overwrite")
      .partitionBy("repo_bucket")
      .format(fmt)

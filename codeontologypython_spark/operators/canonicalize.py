@@ -167,8 +167,16 @@ def dedup_entities(entities: DataFrame) -> DataFrame:
 
 
 def compute_iris(entities: DataFrame, triples: DataFrame,
-                 lit_groups: DataFrame | None = None) -> DataFrame:
+                 lit_groups: DataFrame | None = None,
+                 broadcast_entities: bool = False) -> DataFrame:
     """C3 -> (eid, iri).
+
+    ``broadcast_entities``: hint the (eid, name) side of the neighbor-name
+    join as a broadcast — the non-literal stream then keeps its subj
+    partitioning through that join and the following groupBy(subj) reuses
+    it (zero extra exchanges). Gated by the caller on the entity count
+    (canonicalize_stage ties it to the same threshold as the IRI rewrite);
+    False at corpus scale.
 
     Hash input per entity: sorted own literal values + sorted neighbor
     names + kind + eid. The eid (repo|path|ordinal) is included as a
@@ -197,10 +205,13 @@ def compute_iris(entities: DataFrame, triples: DataFrame,
         own_lits = (triples.filter(F.col("obj_is_literal"))
                     .groupBy("subj")
                     .agg(F.collect_list(F.sha2("obj", 256)).alias("lits")))
+    name_map = entities.select(F.col("eid").alias("obj"),
+                               F.col("name").alias("nname"))
+    if broadcast_entities:
+        name_map = F.broadcast(name_map)
     neighbor_names = (
         triples.filter(~F.col("obj_is_literal"))
-        .join(entities.select(F.col("eid").alias("obj"),
-                              F.col("name").alias("nname")), "obj")
+        .join(name_map, "obj")
         .filter(F.col("nname").isNotNull())
         .groupBy("subj").agg(F.collect_list("nname").alias("nnames")))
     return (entities
@@ -462,18 +473,24 @@ def canonicalize_stage(entities: DataFrame, all_triples: DataFrame,
     if manifest is not None:
         all_triples = apply_library_manifest(all_triples, manifest)
     entities = dedup_entities(entities).persist()
-    # one aggregate job (which also warms the entity persist) replaces the
-    # two separate full-stream ParameterizedType emptiness probes that
-    # degrade/prune would otherwise each run — on ptype-free corpora the
-    # whole degrade+prune pair short-circuits with zero extra jobs
-    n_ptypes = (entities.filter(F.col("kind") == "ParameterizedType")
-                .groupBy().count().collect()[0][0])
+    # ONE aggregate job (which also warms the entity persist) answers both
+    # serial gates: the ParameterizedType emptiness probe (degrade/prune
+    # short-circuit) AND the entity count that drives every broadcast
+    # decision — iri_map has exactly one row per entity, so this replaces
+    # the round-5 separate iri_map.count() job outright
+    row = entities.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("kind") == "ParameterizedType", True))
+        .alias("np")).collect()[0]
+    n_entities, n_ptypes = row["n"], row["np"]
     if n_ptypes:
         degraded = degrade_argless_ptypes(entities, all_triples,
                                           assume_ptypes=True)
         pruned = prune_dangling_ptypes(entities, degraded)
     else:
         pruned = all_triples
+    if broadcast_iris is None:
+        broadcast_iris = n_entities <= _IRI_BROADCAST_MAX_ROWS
     # dedup BEFORE IRI hashing: (a) the IRI aggregation then sees each
     # neighbor name / literal digest once (duplicate emissions would perturb
     # the hash input), (b) the IRI-rewrite joins and the inverse union
@@ -484,9 +501,8 @@ def canonicalize_stage(entities: DataFrame, all_triples: DataFrame,
     lit_d, lit_groups = dedup_literal_triples(
         pruned.filter(F.col("obj_is_literal")))
     iri_map = compute_iris(entities, nonlit_d,
-                           lit_groups=lit_groups).persist()
-    if broadcast_iris is None:
-        broadcast_iris = iri_map.count() <= _IRI_BROADCAST_MAX_ROWS
+                           lit_groups=lit_groups,
+                           broadcast_entities=broadcast_iris).persist()
     rewritten = apply_iris(lit_d, nonlit_d, iri_map,
                            broadcast_maps=broadcast_iris)
     return materialize_inverses(rewritten)
